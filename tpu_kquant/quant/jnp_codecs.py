@@ -1,0 +1,103 @@
+"""Device-side (jnp) dequantization of canonical QTensors.
+
+This is the slow-but-exact XLA path (SURVEY.md section 7 step 2): dequantize a
+whole packed weight to floats, then matmul. It defines the numerics the fused
+Pallas kernels must match and serves as the fallback on any backend.
+
+All unpacks mirror tpu_kquant.quant.repack's bit conventions and are pure
+mask/shift + sublane concatenation (TPU-relayout friendly).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from tpu_kquant.quant.qtensor import QTensor
+from tpu_kquant.quant.repack import GROUP_SIZE
+
+
+def _unpack_codes_kmajor(qt: QTensor) -> jnp.ndarray:
+    """Packed arrays -> integer codes [K, N] (int8/int32)."""
+    a = qt.arrays
+    kind = qt.kind
+    if kind == "q8":
+        return a["qs"]
+    if kind in ("q4", "q5", "q6"):
+        qs = a["qs"]
+        q = jnp.concatenate([qs & 0xF, qs >> 4], axis=0)
+        if kind == "q5":
+            qh = a["qh"]
+            h = jnp.concatenate([(qh >> j) & 1 for j in range(8)], axis=0)
+            q = q | (h << 4)
+        elif kind == "q6":
+            qh = a["qh"]
+            h = jnp.concatenate([(qh >> (2 * j)) & 3 for j in range(4)], axis=0)
+            q = q | (h << 4)
+        return q
+    if kind in ("q2", "q3"):
+        qs = a["qs"]
+        q = jnp.concatenate([(qs >> (2 * j)) & 3 for j in range(4)], axis=0)
+        if kind == "q3":
+            qh = a["qh"]
+            h = jnp.concatenate([(qh >> j) & 1 for j in range(8)], axis=0)
+            q = q | (h << 2)
+        return q
+    raise ValueError(f"unknown kind {kind}")
+
+
+def dequant_kmajor(qt: QTensor, dtype=jnp.float32) -> jnp.ndarray:
+    """Dequantize a kmajor QTensor to W^T of shape [K, N]."""
+    if qt.kind == "dense":
+        return qt.arrays["w"].T.astype(dtype)
+    assert qt.layout == "kmajor", qt.layout
+    g = GROUP_SIZE[qt.kind]
+    q = _unpack_codes_kmajor(qt).astype(jnp.float32)
+    scales = jnp.repeat(qt.arrays["scales"].astype(jnp.float32), g, axis=0)
+    w = q * scales
+    if "mins" in qt.arrays:
+        w = w - jnp.repeat(qt.arrays["mins"].astype(jnp.float32), g, axis=0)
+    return w.astype(dtype)
+
+
+def dequant_logical(qt: QTensor, dtype=jnp.float32) -> jnp.ndarray:
+    """Dequantize to the logical numpy-order shape (e.g. (N, K))."""
+    if qt.kind == "dense":
+        return qt.arrays["w"].astype(dtype)
+    if qt.layout == "kmajor":
+        w = dequant_kmajor(qt, dtype).T
+        return w.reshape(qt.shape)
+    return dequant_rows(qt, None, dtype)
+
+
+def dequant_rows(qt: QTensor, rows, dtype=jnp.float32) -> jnp.ndarray:
+    """Gather + dequantize rows of a rowmajor QTensor (embedding lookup).
+
+    rows: int array of row indices (any shape) or None for all rows.
+    This replaces the reference's get_rows op on quantized token embeddings.
+    """
+    if qt.kind == "dense":
+        w = qt.arrays["w"]
+        out = w if rows is None else jnp.take(w, rows, axis=0)
+        return out.astype(dtype)
+    assert qt.layout == "rowmajor", qt.layout
+    a = qt.arrays
+    take = (lambda x: x) if rows is None else (lambda x: jnp.take(x, rows, axis=0))
+    # rowmajor arrays are the kmajor ones transposed; reuse the unpacker by
+    # transposing back the (small) gathered slices
+    sub = QTensor(
+        qt.kind,
+        "kmajor",
+        qt.shape,
+        {k: take(v).reshape(-1, v.shape[-1]).T for k, v in a.items()},
+    )
+    g = GROUP_SIZE[qt.kind]
+    q = _unpack_codes_kmajor(sub).astype(jnp.float32)  # [K, R]
+    scales = jnp.repeat(sub.arrays["scales"].astype(jnp.float32), g, axis=0)
+    w = q * scales
+    if "mins" in sub.arrays:
+        w = w - jnp.repeat(sub.arrays["mins"].astype(jnp.float32), g, axis=0)
+    K = qt.shape[-1]
+    out = w.T  # [R, K]
+    if rows is None:
+        return out.reshape(qt.shape).astype(dtype)
+    return out.reshape(tuple(jnp.shape(rows)) + (K,)).astype(dtype)

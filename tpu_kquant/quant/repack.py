@@ -1,0 +1,228 @@
+"""Host-side repack: ggml block formats -> canonical TPU packed-GEMM layouts.
+
+The ggml zoo of per-ISA block codecs (SURVEY.md section 2.1, quants.c) collapses
+on TPU into one canonical family, keyed by code width:
+
+  kind  codes                      side arrays            group  source formats
+  ----  -------------------------  ---------------------  -----  --------------
+  q2    qs2  u8[K/4, N] (2-bit)    scales, mins [K/16,N]    16   Q2_K
+  q3    qs2  u8[K/4, N] + qh[K/8]  scales, mins [K/16,N]    16   Q3_K
+  q4    qs   u8[K/2, N] (4-bit)    scales, mins [K/32,N]    32   Q4_K, Q4_1, Q4_0
+  q5    qs   u8[K/2, N] + qh[K/8]  scales, mins [K/32,N]    32   Q5_K, Q5_1, Q5_0
+  q6    qs   u8[K/2, N] + qh2[K/4] scales, mins [K/16,N]    16   Q6_K
+  q8    qs   i8[K, N]              scales       [K/32,N]    32   Q8_0
+  dense w    bf16/f32[N, K]        --                       --   F32/F16/BF16, rest
+
+Dequant is uniformly  w[k, n] = scales[k//g, n] * q[k, n] - mins[k//g, n]
+with q the unsigned code (offsets like Q4_0's -8 or Q6_K's -32 are folded into
+``mins`` as offset*scale, so kernels need exactly one fused multiply-subtract).
+
+Bit-packing conventions (shared by the jnp and Pallas unpackers):
+  - 4-bit fold: byte (k, n) = code(k) | code(k + K/2) << 4
+  - 1-bit (qh): byte (k, n) bit j = code-bit of element k + j*K/8
+  - 2-bit: byte (k, n) bits [2j, 2j+1] = element k + j*K/4
+All unpacks are mask/shift + sublane concat: no lane shuffles on TPU.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from tpu_kquant.gguf.constants import GGMLType, block_size, type_size
+from tpu_kquant.quant import numpy_codecs as C
+from tpu_kquant.quant.qtensor import QTensor
+
+# ---------------------------------------------------------------------------
+# per-source-format decode to (codes, scale_eff, min_eff)
+# codes: (N, K) uint8/int8; scale/min_eff: (N, K/group) float32
+# ---------------------------------------------------------------------------
+
+
+def _decode_q4_k(blocks: np.ndarray):
+    d = C._f16(blocks[:, 0:2])
+    dmin = C._f16(blocks[:, 2:4])
+    sc, m = C.unpack_kscales(blocks[:, 4:16])
+    q = C._q4k_nibbles(blocks[:, 16:144])
+    return q, d[:, None] * sc, dmin[:, None] * m, 32
+
+
+def _decode_q5_k(blocks: np.ndarray):
+    d = C._f16(blocks[:, 0:2])
+    dmin = C._f16(blocks[:, 2:4])
+    sc, m = C.unpack_kscales(blocks[:, 4:16])
+    qh = blocks[:, 16:48]
+    q4 = C._q4k_nibbles(blocks[:, 48:176])
+    e = np.arange(256)
+    hbit = ((qh[:, e % 32] >> (e // 32)) & 1).astype(np.uint8)
+    return q4 | (hbit << 4), d[:, None] * sc, dmin[:, None] * m, 32
+
+
+def _decode_q6_k(blocks: np.ndarray):
+    ql = blocks[:, 0:128]
+    qh = blocks[:, 128:192]
+    sc = blocks[:, 192:208].view(np.int8).astype(np.float32)
+    d = C._f16(blocks[:, 208:210])
+    q4 = (ql[:, C._Q6K_QL_IDX] >> C._Q6K_QL_SHIFT) & 0xF
+    q2 = (qh[:, C._Q6K_QH_IDX] >> C._Q6K_QH_SHIFT) & 3
+    q = (q4 | (q2 << 4)).astype(np.uint8)  # biased [0, 63], logical value q-32
+    scale = d[:, None] * sc
+    return q, scale, 32.0 * scale, 16
+
+
+def _decode_q2_k(blocks: np.ndarray):
+    scales = blocks[:, 0:16]
+    qs = blocks[:, 16:80]
+    d = C._f16(blocks[:, 80:82])
+    dmin = C._f16(blocks[:, 82:84])
+    q = ((qs[:, C._Q2K_Q_IDX] >> C._Q2K_Q_SHIFT) & 3).astype(np.uint8)
+    # per-element tables give scale idx per elem; reduce to per-group (16)
+    sc = (scales & 0xF).astype(np.float32)
+    m = (scales >> 4).astype(np.float32)
+    # group g (elements 16g..16g+15) uses scale index _Q2K_SCALE_IDX[16g]
+    gidx = C._Q2K_SCALE_IDX[::16]
+    return q, d[:, None] * sc[:, gidx], dmin[:, None] * m[:, gidx], 16
+
+
+def _decode_q3_k(blocks: np.ndarray):
+    hmask = blocks[:, 0:32]
+    qs = blocks[:, 32:96]
+    scales = C._unpack_q3k_scales(blocks[:, 96:108]).astype(np.float32)
+    d = C._f16(blocks[:, 108:110])
+    q2 = ((qs[:, C._Q2K_Q_IDX] >> C._Q2K_Q_SHIFT) & 3).astype(np.uint8)
+    hbit = ((hmask[:, C._Q3K_H_IDX] >> C._Q3K_H_BIT) & 1).astype(np.uint8)
+    q = q2 | (hbit << 2)  # biased [0, 7], logical value q-4
+    gidx = C._Q2K_SCALE_IDX[::16]
+    scale = d[:, None] * scales[:, gidx]
+    return q, scale, 4.0 * scale, 16
+
+
+def _decode_q4_0(blocks: np.ndarray):
+    d = C._f16(blocks[:, 0:2])
+    qs = blocks[:, 2:18]
+    q = np.concatenate([qs & 0xF, qs >> 4], axis=1)
+    return q, d[:, None], 8.0 * d[:, None], 32
+
+
+def _decode_q4_1(blocks: np.ndarray):
+    d = C._f16(blocks[:, 0:2])
+    m = C._f16(blocks[:, 2:4])
+    qs = blocks[:, 4:20]
+    q = np.concatenate([qs & 0xF, qs >> 4], axis=1)
+    return q, d[:, None], -m[:, None], 32
+
+
+def _decode_q5_0(blocks: np.ndarray):
+    d = C._f16(blocks[:, 0:2])
+    qh = C._qh_bits(blocks[:, 2:6])
+    qs = blocks[:, 6:22]
+    q = np.concatenate([qs & 0xF, qs >> 4], axis=1) | (qh << 4)
+    return q, d[:, None], 16.0 * d[:, None], 32
+
+
+def _decode_q5_1(blocks: np.ndarray):
+    d = C._f16(blocks[:, 0:2])
+    m = C._f16(blocks[:, 2:4])
+    qh = C._qh_bits(blocks[:, 4:8])
+    qs = blocks[:, 8:24]
+    q = np.concatenate([qs & 0xF, qs >> 4], axis=1) | (qh << 4)
+    return q, d[:, None], -m[:, None], 32
+
+
+def _decode_q8_0(blocks: np.ndarray):
+    d = C._f16(blocks[:, 0:2])
+    q = blocks[:, 2:34].view(np.int8)
+    return q, d[:, None], None, 32
+
+
+_DECODERS = {
+    GGMLType.Q2_K: ("q2", _decode_q2_k),
+    GGMLType.Q3_K: ("q3", _decode_q3_k),
+    GGMLType.Q4_K: ("q4", _decode_q4_k),
+    GGMLType.Q4_0: ("q4", _decode_q4_0),
+    GGMLType.Q4_1: ("q4", _decode_q4_1),
+    GGMLType.Q5_K: ("q5", _decode_q5_k),
+    GGMLType.Q5_0: ("q5", _decode_q5_0),
+    GGMLType.Q5_1: ("q5", _decode_q5_1),
+    GGMLType.Q6_K: ("q6", _decode_q6_k),
+    GGMLType.Q8_0: ("q8", _decode_q8_0),
+}
+
+GROUP_SIZE = {"q2": 16, "q3": 16, "q4": 32, "q5": 32, "q6": 16, "q8": 32}
+CODE_BITS = {"q2": 2, "q3": 3, "q4": 4, "q5": 5, "q6": 6, "q8": 8}
+
+
+def _pack_bits_kmajor(codes_T: np.ndarray, kind: str) -> dict[str, np.ndarray]:
+    """codes_T: (K, N) unsigned codes -> packed arrays per the conventions."""
+    K = codes_T.shape[0]
+    out: dict[str, np.ndarray] = {}
+    if kind == "q8":
+        out["qs"] = codes_T.astype(np.int8)
+        return out
+    if kind in ("q4", "q5", "q6"):
+        lo4 = codes_T & 0xF
+        out["qs"] = lo4[: K // 2] | (lo4[K // 2 :] << 4)
+    if kind == "q5":
+        h = (codes_T >> 4) & 1  # (K, N)
+        s = K // 8
+        out["qh"] = sum((h[j * s : (j + 1) * s] << j) for j in range(8)).astype(np.uint8)
+    if kind == "q6":
+        h = (codes_T >> 4) & 3
+        s = K // 4
+        out["qh"] = sum((h[j * s : (j + 1) * s] << (2 * j)) for j in range(4)).astype(np.uint8)
+    if kind in ("q2", "q3"):
+        lo2 = codes_T & 3
+        s = K // 4
+        out["qs"] = sum((lo2[j * s : (j + 1) * s] << (2 * j)) for j in range(4)).astype(np.uint8)
+    if kind == "q3":
+        h = (codes_T >> 2) & 1
+        s = K // 8
+        out["qh"] = sum((h[j * s : (j + 1) * s] << j) for j in range(8)).astype(np.uint8)
+    return out
+
+
+def repack(
+    raw: np.ndarray,
+    ggml_type: GGMLType,
+    shape: tuple[int, ...],
+    layout: str = "kmajor",
+    scale_dtype=np.float32,
+) -> QTensor:
+    """Repack raw ggml tensor bytes into a canonical TPU QTensor.
+
+    ``shape`` is the logical (numpy) shape; for 2-D weights it is (N, K) with
+    K contiguous on disk. Formats without a decoder (or 1-D tensors) fall back
+    to a dense float tensor.
+    """
+    t = GGMLType(ggml_type)
+    if t not in _DECODERS or len(shape) < 2 or layout == "dense":
+        w = C.dequantize(raw, t, shape)
+        dt = np.float32 if len(shape) == 1 else scale_dtype
+        return QTensor("dense", "dense", tuple(shape), {"w": w.astype(dt)})
+
+    kind, decoder = _DECODERS[t]
+    N = int(np.prod(shape[:-1]))
+    K = shape[-1]
+    bs, ts = block_size(t), type_size(t)
+    blocks = np.ascontiguousarray(raw[: N * K // bs * ts]).reshape(-1, ts)
+    codes, scale_eff, min_eff, group = decoder(blocks)
+    codes = codes.reshape(N, K)
+    scales = scale_eff.reshape(N, K // group).astype(scale_dtype)
+    mins = None if min_eff is None else np.broadcast_to(
+        min_eff, scale_eff.shape
+    ).reshape(N, K // group).astype(scale_dtype)
+
+    arrays: dict[str, np.ndarray]
+    if layout == "rowmajor":
+        # keep rows intact for gather: fold along K within each row
+        arrays = {
+            k: v.T for k, v in _pack_bits_kmajor(codes.T, kind).items()
+        }
+        arrays["scales"] = scales
+        if mins is not None:
+            arrays["mins"] = mins
+    else:
+        arrays = _pack_bits_kmajor(codes.T, kind)
+        arrays["scales"] = scales.T.copy()
+        if mins is not None:
+            arrays["mins"] = mins.T.copy()
+    return QTensor(kind, layout, tuple(shape), arrays)
