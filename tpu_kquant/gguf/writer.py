@@ -23,7 +23,6 @@ from tpu_kquant.gguf.constants import (
     GGUFValueType,
     row_size,
 )
-from tpu_kquant.quant import quantize
 
 _SCALAR_PACK = {
     GGUFValueType.UINT8: "<B",
@@ -91,6 +90,9 @@ class GGUFWriter:
         pre-encoded bytes are given. ``array.shape`` is numpy row-major order
         (stored reversed on disk, ggml ne[] order)."""
         if raw is None:
+            # local import: quant depends on gguf.constants (avoid module cycle)
+            from tpu_kquant.quant import quantize
+
             ggml_type = ggml_type or GGMLType.F32
             raw = quantize(np.asarray(array, np.float32), ggml_type)
         else:

@@ -1,0 +1,132 @@
+"""Synthesize exact-architecture GGUF fixture models (random weights).
+
+With zero network egress, tests and benchmarks exercise the *identical*
+tensor inventory, shapes, and quant-type assignment of real Q4_K_M exports:
+most weights Q4_K; attn_v / ffn_down / output in Q6_K (the llama.cpp Q4_K_M
+mixed recipe — the reference's TinyLlama lm head being Q6_K is why
+ggml_vec_dot_q6_K_q8_K is 25.93% of its decode cycles, SURVEY.md section 3.1);
+norms F32.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from tpu_kquant.gguf import GGMLType, GGUFWriter
+from tpu_kquant.models.config import ModelConfig
+from tpu_kquant.ops.rope import RopeParams
+
+
+def tiny_config(
+    arch: str = "llama",
+    n_layers: int = 2,
+    dim: int = 64,
+    n_heads: int = 4,
+    n_kv_heads: int = 2,
+    ffn_dim: int = 128,
+    vocab_size: int = 512,
+    max_seq_len: int = 256,
+    n_experts: int = 0,
+    n_experts_used: int = 0,
+) -> ModelConfig:
+    hd = dim // n_heads
+    return ModelConfig(
+        arch=arch, n_layers=n_layers, dim=dim, n_heads=n_heads,
+        n_kv_heads=n_kv_heads, head_dim=hd, ffn_dim=ffn_dim,
+        vocab_size=vocab_size, max_seq_len=max_seq_len,
+        rope=RopeParams(head_dim=hd, n_rot=hd),
+        n_experts=n_experts, n_experts_used=n_experts_used,
+    )
+
+
+def tinyllama_1b_config() -> ModelConfig:
+    """TinyLlama-1.1B-Chat-v1.0 — the reference's exact benchmark model
+    (BASELINE.md: 1.10 B params, 636.18 MiB at Q4_K_M)."""
+    return ModelConfig(
+        arch="llama", n_layers=22, dim=2048, n_heads=32, n_kv_heads=4,
+        head_dim=64, ffn_dim=5632, vocab_size=32000, max_seq_len=2048,
+        rope=RopeParams(head_dim=64, n_rot=64),
+    )
+
+
+def llama3_8b_config() -> ModelConfig:
+    return ModelConfig(
+        arch="llama", n_layers=32, dim=4096, n_heads=32, n_kv_heads=8,
+        head_dim=128, ffn_dim=14336, vocab_size=128256, max_seq_len=8192,
+        rope=RopeParams(head_dim=128, n_rot=128, freq_base=500000.0),
+    )
+
+
+def _qtype_for(name: str, shape, quant: str) -> GGMLType:
+    """llama.cpp-style Q4_K_M type recipe (or uniform f16/f32)."""
+    if name.endswith("_norm.weight"):
+        return GGMLType.F32
+    if quant == "f32":
+        return GGMLType.F32
+    if quant == "f16":
+        return GGMLType.F16
+    # Q4_K_M mix
+    if any(s in name for s in ("attn_v", "ffn_down", "output.weight")):
+        return GGMLType.Q6_K
+    if shape[-1] % 256 != 0:
+        return GGMLType.Q8_0 if shape[-1] % 32 == 0 else GGMLType.F16
+    return GGMLType.Q4_K
+
+
+def write_fixture_gguf(
+    path,
+    cfg: ModelConfig,
+    seed: int = 0,
+    quant: str = "q4_k_m",
+    scale: float = 0.05,
+    with_tokenizer: bool = True,
+) -> str:
+    rng = np.random.default_rng(seed)
+    w = GGUFWriter(path)
+    for k, v in cfg.to_gguf_metadata().items():
+        w.add(k, v)
+    w.add("general.name", f"fixture-{cfg.arch}")
+    if with_tokenizer:
+        # minimal SPM-style vocab: specials + byte tokens + a few merged pieces
+        toks = ["<unk>", "<s>", "</s>"]
+        toks += [f"<0x{b:02X}>" for b in range(256)]
+        pieces = ["▁the", "▁a", "he", "ll", "o", "▁hello", "▁world", "th", "er", "▁t"]
+        toks += pieces
+        toks += [f"tok{i}" for i in range(cfg.vocab_size - len(toks))]
+        scores = [0.0] * 3 + [0.0] * 256 + [-float(i) for i in range(len(pieces))]
+        scores += [-1000.0] * (cfg.vocab_size - len(scores))
+        ttypes = [2, 3, 3] + [6] * 256 + [1] * (cfg.vocab_size - 259)
+        w.add("tokenizer.ggml.model", "llama")
+        w.add("tokenizer.ggml.tokens", toks[: cfg.vocab_size])
+        w.add("tokenizer.ggml.scores", np.array(scores[: cfg.vocab_size], np.float32))
+        w.add("tokenizer.ggml.token_type", np.array(ttypes[: cfg.vocab_size], np.int32))
+        w.add("tokenizer.ggml.bos_token_id", 1)
+        w.add("tokenizer.ggml.eos_token_id", 2)
+
+    def add(name: str, shape):
+        t = _qtype_for(name, shape, quant)
+        x = rng.standard_normal(shape).astype(np.float32) * scale
+        w.add_tensor(name, x, t)
+
+    D, H, Hkv, hd, F, V = cfg.dim, cfg.n_heads, cfg.n_kv_heads, cfg.head_dim, cfg.ffn_dim, cfg.vocab_size
+    add("token_embd.weight", (V, D))
+    add("output_norm.weight", (D,))
+    add("output.weight", (V, D))
+    for i in range(cfg.n_layers):
+        p = f"blk.{i}."
+        add(p + "attn_norm.weight", (D,))
+        add(p + "attn_q.weight", (H * hd, D))
+        add(p + "attn_k.weight", (Hkv * hd, D))
+        add(p + "attn_v.weight", (Hkv * hd, D))
+        add(p + "attn_output.weight", (D, H * hd))
+        add(p + "ffn_norm.weight", (D,))
+        if cfg.is_moe:
+            add(p + "ffn_gate_inp.weight", (cfg.n_experts, D))
+            add(p + "ffn_gate_exps.weight", (cfg.n_experts, F, D))
+            add(p + "ffn_up_exps.weight", (cfg.n_experts, F, D))
+            add(p + "ffn_down_exps.weight", (cfg.n_experts, D, F))
+        else:
+            add(p + "ffn_gate.weight", (F, D))
+            add(p + "ffn_up.weight", (F, D))
+            add(p + "ffn_down.weight", (D, F))
+    return str(w.write())

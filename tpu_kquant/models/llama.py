@@ -1,0 +1,98 @@
+"""Functional Llama-family forward pass (TinyLlama, Llama-2/3, Mistral, Qwen2).
+
+Replaces the reference's graph-builder layer (SURVEY.md 2.1 "Graph builder":
+llm_build_llama -> build_attn, evidenced at out.folded:249-250). In JAX the
+"graph" is just this traced function; XLA replaces ggml's cgraph + backend
+scheduler + threadpool (SURVEY.md section 1, L2-L4).
+
+Params are a pytree:
+  {'tok_embd': QTensor(rowmajor), 'output_norm': QTensor, 'output': QTensor,
+   'layers': [ {'attn_norm', 'wq', 'wk', 'wv', 'wo',
+                'ffn_norm', 'w_gate', 'w_up', 'w_down'} ... ]}
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING, Any
+
+import jax.numpy as jnp
+
+from tpu_kquant.models.config import ModelConfig
+from tpu_kquant.ops import apply_rope, attention_decode, qmatmul, rms_norm, rope_cos_sin
+from tpu_kquant.ops.activations import swiglu
+from tpu_kquant.quant.jnp_codecs import dequant_rows
+
+if TYPE_CHECKING:  # avoid models <-> runtime import cycle
+    from tpu_kquant.runtime.kv_cache import KVCache
+
+
+def _norm_w(qt) -> jnp.ndarray:
+    return qt.arrays["w"]
+
+
+def llama_layer(
+    layer: dict[str, Any],
+    cfg: ModelConfig,
+    x: jnp.ndarray,  # [B, T, dim]
+    positions: jnp.ndarray,  # [B, T]
+    cos: jnp.ndarray,
+    sin: jnp.ndarray,
+    cache: KVCache,
+    layer_idx: int,
+    impl: str = "auto",
+) -> tuple[jnp.ndarray, KVCache]:
+    B, T, _ = x.shape
+    H, Hkv, D = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
+
+    h = rms_norm(x, _norm_w(layer["attn_norm"]), cfg.norm_eps)
+    q = qmatmul(h, layer["wq"], impl).reshape(B, T, H, D)
+    k = qmatmul(h, layer["wk"], impl).reshape(B, T, Hkv, D)
+    v = qmatmul(h, layer["wv"], impl).reshape(B, T, Hkv, D)
+    if cfg.attn_bias:
+        q = q + layer["bq"].reshape(H, D)
+        k = k + layer["bk"].reshape(Hkv, D)
+        v = v + layer["bv"].reshape(Hkv, D)
+
+    q = apply_rope(q, cos[:, :, None, :], sin[:, :, None, :])
+    k = apply_rope(k, cos[:, :, None, :], sin[:, :, None, :])
+
+    cache = cache.append(layer_idx, k, v, positions)
+    k_all, v_all, kv_scales = cache.layer_view(layer_idx)
+    attn = attention_decode(q, k_all, v_all, positions, kv_scales)
+    x = x + qmatmul(attn.reshape(B, T, H * D), layer["wo"], impl)
+
+    h = rms_norm(x, _norm_w(layer["ffn_norm"]), cfg.norm_eps)
+    if cfg.is_moe:
+        from tpu_kquant.models.moe import moe_ffn
+
+        x = x + moe_ffn(layer, cfg, h, impl)
+    else:
+        gate = qmatmul(h, layer["w_gate"], impl)
+        up = qmatmul(h, layer["w_up"], impl)
+        x = x + qmatmul(swiglu(gate, up), layer["w_down"], impl)
+    return x, cache
+
+
+def llama_forward(
+    params: dict[str, Any],
+    cfg: ModelConfig,
+    tokens: jnp.ndarray,  # [B, T] int32
+    positions: jnp.ndarray,  # [B, T] int32
+    cache: KVCache,
+    impl: str = "auto",
+    logits_last_only: bool = False,
+    act_dtype=jnp.bfloat16,
+) -> tuple[jnp.ndarray, KVCache]:
+    """Returns (logits [B, T, vocab] (or [B, 1, vocab]), updated cache)."""
+    x = dequant_rows(params["tok_embd"], tokens, dtype=act_dtype)
+    cos, sin = rope_cos_sin(positions, cfg.rope)
+    cos, sin = cos.astype(jnp.float32), sin.astype(jnp.float32)
+
+    for i, layer in enumerate(params["layers"]):
+        x, cache = llama_layer(layer, cfg, x, positions, cos, sin, cache, i, impl)
+
+    x = rms_norm(x, _norm_w(params["output_norm"]), cfg.norm_eps)
+    if logits_last_only:
+        x = x[:, -1:, :]
+    logits = qmatmul(x, params["output"], impl, out_dtype=jnp.float32)
+    return logits, cache

@@ -1,0 +1,60 @@
+"""Attention over a (possibly quantized) KV cache.
+
+Replaces the reference's attention sub-graph (SURVEY.md 3.3): KQ matmul via
+ggml_vec_dot_f16, soft_max_f32, V-gather matmul, with the kq_mask materialized
+per ubatch. Here the mask is *computed* from positions (never materialized in
+HBM at [S, S]) and the whole sub-graph is one fused XLA region; a blockwise
+Pallas flash kernel (ops.pallas_attention) takes over for long contexts.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def attention_decode(
+    q: jnp.ndarray,  # [B, T, H, D]
+    k_cache: jnp.ndarray,  # [B, S, Hkv, D]   (bf16 or int8)
+    v_cache: jnp.ndarray,  # [B, S, Hkv, D]
+    q_positions: jnp.ndarray,  # [B, T] absolute position of each query token
+    kv_scales: tuple[jnp.ndarray, jnp.ndarray] | None = None,  # int8 per-token scales [B, S, Hkv]
+    scale: float | None = None,
+    logit_softcap: float = 0.0,
+    sliding_window: int = 0,
+) -> jnp.ndarray:
+    """Causal GQA attention of T query tokens against S cache slots.
+
+    Cache slot j holds absolute position j (ring-free layout); slots beyond a
+    sequence's current length hold garbage but are masked because j > q_pos.
+    Returns [B, T, H, D] in q.dtype.
+    """
+    B, T, H, D = q.shape
+    S, Hkv = k_cache.shape[1], k_cache.shape[2]
+    G = H // Hkv  # query groups per kv head
+    if scale is None:
+        scale = D ** -0.5
+
+    if kv_scales is not None:
+        ks, vs = kv_scales  # [B, S, Hkv]
+        kf = k_cache.astype(jnp.float32) * ks[..., None]
+        vf = v_cache.astype(jnp.float32) * vs[..., None]
+    else:
+        kf = k_cache.astype(jnp.float32)
+        vf = v_cache.astype(jnp.float32)
+
+    qf = q.astype(jnp.float32).reshape(B, T, Hkv, G, D)
+    # logits: [B, T, Hkv, G, S]
+    logits = jnp.einsum("bthgd,bshd->bthgs", qf, kf) * scale
+    if logit_softcap > 0.0:
+        logits = jnp.tanh(logits / logit_softcap) * logit_softcap
+
+    kv_pos = jax.lax.broadcasted_iota(jnp.int32, (1, 1, S), 2)
+    mask = kv_pos <= q_positions[:, :, None]  # [B, T, S] causal
+    if sliding_window > 0:
+        mask &= kv_pos > q_positions[:, :, None] - sliding_window
+    logits = jnp.where(mask[:, :, None, None, :], logits, -jnp.inf)
+
+    p = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bthgs,bshd->bthgd", p, vf)
+    return out.reshape(B, T, H, D).astype(q.dtype)

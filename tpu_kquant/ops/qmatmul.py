@@ -1,0 +1,61 @@
+"""Quantized matmul dispatch — the TPU analog of ggml_compute_forward_mul_mat.
+
+The reference's hot path (SURVEY.md 3.1) is mul_mat over packed Q4_K/Q6_K
+weights via per-row NEON vec-dots (67%+26% of decode cycles). Here the same
+contraction is one op with two implementations:
+
+  - 'xla':    dequantize W^T [K, N] with jnp unpackers, then a bf16 MXU
+              matmul (XLA fuses dequant into the matmul's operand pipeline).
+  - 'pallas': fused kernel that streams packed bits HBM->VMEM and dequantizes
+              in-tile (tpu_kquant.ops.pallas_qmm) — the speed-of-light path.
+  - 'auto':   pallas for supported kinds on TPU, else xla.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from tpu_kquant.quant.jnp_codecs import dequant_kmajor
+from tpu_kquant.quant.qtensor import QTensor
+
+_PALLAS_KINDS = ("q4", "q5", "q6", "q8", "q2", "q3")
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:  # pragma: no cover
+        return False
+
+
+def qmatmul(
+    x: jnp.ndarray,
+    qt: QTensor,
+    impl: str = "auto",
+    out_dtype=None,
+) -> jnp.ndarray:
+    """y[..., n] = sum_k x[..., k] * W[n, k] for a kmajor/dense QTensor.
+
+    Contraction runs on the MXU in bf16 (weights dequantized to bf16) with
+    float32 accumulation; output cast to ``out_dtype`` (default: x.dtype).
+    """
+    out_dtype = out_dtype or x.dtype
+    if impl == "auto":
+        impl = "pallas" if (qt.kind in _PALLAS_KINDS and _on_tpu()) else "xla"
+    if impl == "pallas" and qt.kind in _PALLAS_KINDS:
+        from tpu_kquant.ops.pallas_qmm import qmm_pallas
+
+        return qmm_pallas(x, qt, out_dtype=out_dtype)
+
+    # compute dtype follows the activations: bf16 activations -> bf16 MXU
+    # matmul (f32 accumulate); f32 activations -> full-precision parity path
+    cdt = jnp.float32 if x.dtype == jnp.float32 else jnp.bfloat16
+    wt = dequant_kmajor(qt, dtype=cdt)  # [K, N]
+    y = jax.lax.dot_general(
+        x.astype(cdt),
+        wt,
+        dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return y.astype(out_dtype)

@@ -1,0 +1,134 @@
+"""Inference engine: jitted prefill/decode steps around the functional model.
+
+Replaces the reference's context runtime (SURVEY.md 2.1 "Context runtime":
+llama_context::decode / process_ubatch / graph_compute at
+llama-context.cpp:1088,2747). ggml's per-ubatch graph build + backend
+scheduler + threadpool all collapse into two cached XLA executables:
+
+  prefill(tokens [B, T]) — bucketed T (static shapes), right-padded; padded
+    slots write garbage K/V beyond each row's length, which is safe because a
+    later decode step always overwrites slot p before any query can attend it
+    (mask is j <= q_pos).
+  decode(tokens [B, 1])  — one token per sequence, cache donated in-place.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_kquant.models.config import ModelConfig
+from tpu_kquant.models.llama import llama_forward
+from tpu_kquant.ops.sampling import greedy, sample
+from tpu_kquant.runtime.kv_cache import KVCache
+
+PREFILL_BUCKETS = (16, 32, 64, 128, 256, 512, 1024, 2048)
+
+
+def _bucket(n: int) -> int:
+    for b in PREFILL_BUCKETS:
+        if n <= b:
+            return b
+    return -(-n // 2048) * 2048
+
+
+class InferenceEngine:
+    def __init__(
+        self,
+        cfg: ModelConfig,
+        params: dict[str, Any],
+        max_batch: int = 1,
+        max_seq: int | None = None,
+        kv_quantized: bool = False,
+        impl: str = "auto",
+    ):
+        self.cfg = cfg
+        self.params = params
+        self.max_batch = max_batch
+        self.max_seq = max_seq or cfg.max_seq_len
+        self.kv_quantized = kv_quantized
+        self.impl = impl
+
+        fwd = partial(llama_forward, impl=impl)
+
+        @partial(jax.jit, donate_argnums=(3,), static_argnums=(4,))
+        def _step(params, tokens, positions, cache, last_only):
+            return fwd(params, cfg, tokens, positions, cache, logits_last_only=last_only)
+
+        self._step = _step
+
+    def new_cache(self, batch: int | None = None) -> KVCache:
+        return KVCache.create(
+            self.cfg.n_layers,
+            batch or self.max_batch,
+            self.max_seq,
+            self.cfg.n_kv_heads,
+            self.cfg.head_dim,
+            quantized=self.kv_quantized,
+        )
+
+    # -- steps -----------------------------------------------------------------
+    def prefill(self, token_rows: list[list[int]], cache: KVCache):
+        """Right-padded bucketed prefill. Returns (last_logits [B, V], cache,
+        lengths [B])."""
+        B = len(token_rows)
+        lens = np.array([len(t) for t in token_rows], np.int32)
+        T = _bucket(int(lens.max()))
+        toks = np.zeros((B, T), np.int32)
+        for i, row in enumerate(token_rows):
+            toks[i, : len(row)] = row
+        positions = np.broadcast_to(np.arange(T, dtype=np.int32), (B, T))
+        logits, cache = self._step(
+            self.params, jnp.asarray(toks), jnp.asarray(positions), cache, False
+        )
+        last = jnp.take_along_axis(logits, jnp.asarray(lens - 1)[:, None, None], axis=1)
+        return last[:, 0, :], cache, lens
+
+    def decode_step(self, tokens: jnp.ndarray, positions: jnp.ndarray, cache: KVCache):
+        """tokens [B], positions [B] -> (logits [B, V], cache)."""
+        logits, cache = self._step(
+            self.params, tokens[:, None], positions[:, None], cache, True
+        )
+        return logits[:, 0, :], cache
+
+    # -- generation loop -------------------------------------------------------
+    def generate(
+        self,
+        prompts: list[list[int]],
+        max_new_tokens: int = 32,
+        temperature: float = 0.0,
+        top_k: int = 0,
+        top_p: float = 1.0,
+        eos_id: int | None = None,
+        seed: int = 0,
+    ) -> list[list[int]]:
+        """Greedy/sampled generation; returns newly generated ids per row."""
+        B = len(prompts)
+        cache = self.new_cache(B)
+        logits, cache, lens = self.prefill(prompts, cache)
+        key = jax.random.PRNGKey(seed)
+        positions = jnp.asarray(lens)  # next position per row
+        out: list[list[int]] = [[] for _ in range(B)]
+        done = np.zeros(B, bool)
+        tok = None
+        for _ in range(max_new_tokens):
+            if temperature <= 0.0:
+                tok = greedy(logits)
+            else:
+                key, sub = jax.random.split(key)
+                tok = sample(logits, sub, temperature, top_k, top_p)
+            tok_np = np.asarray(tok)
+            for i in range(B):
+                if not done[i]:
+                    out[i].append(int(tok_np[i]))
+                    if eos_id is not None and tok_np[i] == eos_id:
+                        done[i] = True
+            if done.all():
+                break
+            logits, cache = self.decode_step(tok, positions, cache)
+            positions = positions + 1
+        return out

@@ -1,0 +1,113 @@
+"""GGUF -> (ModelConfig, params pytree) loader.
+
+Replaces the reference's model loader + arch registry (SURVEY.md 2.1:
+llama_model_load_from_file / llama_model::load_tensors; call stack 3.2).
+Parse is zero-copy (mmap views); each tensor is host-repacked into its
+canonical TPU layout (quant.repack) and device_put — packed bits travel to
+HBM still packed, the TPU analog of the reference never copying mmap'd
+weights.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_kquant.gguf import GGUFReader
+from tpu_kquant.models.config import ModelConfig
+from tpu_kquant.quant.qtensor import QTensor
+from tpu_kquant.quant.repack import repack
+
+# supported architecture name aliases -> llama-family forward
+LLAMA_FAMILY = {"llama", "mistral", "qwen2", "tinyllama", "mixtral", "phi3"}
+
+
+def _put(qt: QTensor, put: Callable[[str, QTensor], QTensor] | None, name: str) -> QTensor:
+    if put is not None:
+        return put(name, qt)
+    return QTensor(qt.kind, qt.layout, qt.shape, {k: jnp.asarray(v) for k, v in qt.arrays.items()})
+
+
+def _repack_named(r: GGUFReader, name: str, layout: str, scale_dtype=np.float32) -> QTensor:
+    ti = r.tensors[name]
+    return repack(r.tensor_bytes(name), ti.ggml_type, ti.shape, layout=layout, scale_dtype=scale_dtype)
+
+
+def _expert_split(r: GGUFReader, name: str, scale_dtype=np.float32) -> list[QTensor]:
+    """Split a stacked (E, N, K) expert tensor into per-expert kmajor QTensors."""
+    ti = r.tensors[name]
+    E, N, K = ti.shape
+    raw = r.tensor_bytes(name)
+    per = raw.size // E
+    return [
+        repack(raw[e * per : (e + 1) * per], ti.ggml_type, (N, K), layout="kmajor",
+               scale_dtype=scale_dtype)
+        for e in range(E)
+    ]
+
+
+def load_model(
+    path: str,
+    put: Callable[[str, QTensor], QTensor] | None = None,
+    scale_dtype=np.float32,
+) -> tuple[ModelConfig, dict[str, Any], GGUFReader]:
+    """Load a GGUF model. ``put`` optionally device_puts/shards each QTensor
+    (parallel.sharding provides mesh-aware versions). Returns the open reader
+    too (metadata/tokenizer live there)."""
+    r = GGUFReader(path)
+    cfg = ModelConfig.from_gguf(r.metadata)
+    if cfg.arch not in LLAMA_FAMILY:
+        raise ValueError(f"unsupported architecture {cfg.arch!r}")
+
+    def rp(name: str, layout: str = "kmajor") -> QTensor:
+        return _put(_repack_named(r, name, layout, scale_dtype), put, name)
+
+    params: dict[str, Any] = {
+        "tok_embd": rp("token_embd.weight", "rowmajor"),
+        "output_norm": rp("output_norm.weight", "dense"),
+    }
+    if "output.weight" in r.tensors:
+        params["output"] = rp("output.weight")
+    else:
+        # tied embeddings: reuse token_embd, repacked kmajor for the lm head
+        params["output"] = rp("token_embd.weight", "kmajor")
+
+    layers = []
+    for i in range(cfg.n_layers):
+        p = f"blk.{i}."
+        layer: dict[str, Any] = {
+            "attn_norm": rp(p + "attn_norm.weight", "dense"),
+            "wq": rp(p + "attn_q.weight"),
+            "wk": rp(p + "attn_k.weight"),
+            "wv": rp(p + "attn_v.weight"),
+            "wo": rp(p + "attn_output.weight"),
+            "ffn_norm": rp(p + "ffn_norm.weight", "dense"),
+        }
+        if cfg.attn_bias:
+            for b, nm in (("bq", "attn_q.bias"), ("bk", "attn_k.bias"), ("bv", "attn_v.bias")):
+                layer[b] = jnp.asarray(r.tensor_float(p + nm))
+        if cfg.is_moe:
+            layer["gate_inp"] = rp(p + "ffn_gate_inp.weight")
+            layer["experts"] = [
+                {
+                    "w_gate": _put(g, put, f"{p}expert{e}.gate"),
+                    "w_up": _put(u, put, f"{p}expert{e}.up"),
+                    "w_down": _put(d, put, f"{p}expert{e}.down"),
+                }
+                for e, (g, u, d) in enumerate(
+                    zip(
+                        _expert_split(r, p + "ffn_gate_exps.weight", scale_dtype),
+                        _expert_split(r, p + "ffn_up_exps.weight", scale_dtype),
+                        _expert_split(r, p + "ffn_down_exps.weight", scale_dtype),
+                    )
+                )
+            ]
+        else:
+            layer["w_gate"] = rp(p + "ffn_gate.weight")
+            layer["w_up"] = rp(p + "ffn_up.weight")
+            layer["w_down"] = rp(p + "ffn_down.weight")
+        layers.append(layer)
+    params["layers"] = layers
+    return cfg, params, r
