@@ -1,0 +1,259 @@
+"""Fused dequant+matmul Pallas kernels — the TPU replacement for the
+reference's hand-written NEON vec-dot hot loop.
+
+Reference analog (SURVEY.md 3.1): ggml_vec_dot_q4_K_q8_K (67.15% of decode
+cycles) + ggml_vec_dot_q6_K_q8_K (25.93%) at quants.c:2059, whose optimization
+lesson was "keep accumulation in-lane, avoid register-domain crossings"
+(reference README.md:1425-1480). The TPU translation: packed 4/6-bit weights
+stream HBM->VMEM exactly once, the VPU unpacks+dequantizes in-tile, and the
+MXU contracts bf16 tiles with f32 accumulation in a VMEM scratch accumulator —
+no horizontal reductions, no int<->float round trips per sub-block.
+
+Layout contract (see quant/repack.py): a packed byte row k of ``qs`` carries
+codes for logical rows k and k + K/2 (the "folded-K" convention). Each grid
+step therefore dequantizes BOTH folds of its tile — every packed byte is
+loaded exactly once per output tile, which is what makes the kernel
+HBM-bandwidth-optimal. Side inputs (x, scales, mins) are passed twice with
+offset index maps to address the two folds.
+
+y[b, n] = sum_k x[b, k] * (scales[k//g, n] * q[k, n] - mins[k//g, n])
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpu_kquant.quant.qtensor import QTensor
+from tpu_kquant.quant.repack import GROUP_SIZE
+
+
+def _pow2_divisor(v: int, cap: int) -> int:
+    t = 1
+    while t * 2 <= cap and v % (t * 2) == 0:
+        t *= 2
+    return t
+
+
+def _dyn_rshift(arr: jnp.ndarray, shift) -> jnp.ndarray:
+    """Right-shift an i32 tile by a traced scalar (broadcast on the VPU).
+
+    Mosaic only supports vector shifts at i32 width, so packed tiles are
+    widened before any bit manipulation.
+    """
+    return jax.lax.shift_right_logical(arr, jnp.full(arr.shape, shift, arr.dtype))
+
+
+def _codes_for_fold(kind, qs, qh, a, K, hi_fold):
+    """Unpack one fold's integer codes from the packed tiles.
+
+    a: traced element offset of the LO fold of this tile (= k * TK2).
+    hi_fold: static — whether this is the k + K/2 fold.
+    """
+    if kind == "q8":
+        return qs
+    if kind in ("q4", "q5", "q6"):
+        q4 = (qs >> 4) if hi_fold else (qs & 0xF)
+        if kind == "q4":
+            return q4
+        if kind == "q5":
+            sh = a // (K // 8) + (4 if hi_fold else 0)
+            return q4 | ((_dyn_rshift(qh, sh) & 1) << 4)
+        sh = 2 * (a // (K // 4)) + (4 if hi_fold else 0)
+        return q4 | ((_dyn_rshift(qh, sh) & 3) << 4)
+    # q2 / q3: 2-bit base codes packed 4-fold
+    sh = 2 * (a // (K // 4)) + (4 if hi_fold else 0)
+    q2 = _dyn_rshift(qs, sh) & 3
+    if kind == "q2":
+        return q2
+    shh = a // (K // 8) + (4 if hi_fold else 0)
+    return q2 | ((_dyn_rshift(qh, shh) & 1) << 2)
+
+
+def _qmm_kernel(kind, g, K, TK2, nk, has_qh, has_mins, has_hi, *refs):
+    it = iter(refs)
+    x_lo = next(it)
+    x_hi = next(it) if has_hi else None
+    qs_ref = next(it)
+    qh_ref = next(it) if has_qh else None
+    s_lo = next(it)
+    s_hi = next(it) if has_hi else None
+    m_lo = next(it) if has_mins else None
+    m_hi = next(it) if (has_mins and has_hi) else None
+    o_ref = next(it)
+    acc = next(it)
+
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc[:] = jnp.zeros_like(acc)
+
+    # widen packed bytes to i32 once: Mosaic vector shifts/casts need i32
+    # (u8 zero-extends; q8's i8 sign-extends — both what we want)
+    qs = qs_ref[:].astype(jnp.int32)
+    qh = qh_ref[:].astype(jnp.int32) if qh_ref is not None else None
+    a = k * TK2  # traced element offset of the lo fold
+
+    def half(x_ref, s_ref, m_ref, hi_fold):
+        q = _codes_for_fold(kind, qs, qh, a, K, hi_fold).astype(jnp.float32)
+        w = q * jnp.repeat(s_ref[:].astype(jnp.float32), g, axis=0)
+        if m_ref is not None:
+            w = w - jnp.repeat(m_ref[:].astype(jnp.float32), g, axis=0)
+        return jax.lax.dot_general(
+            x_ref[:].astype(jnp.bfloat16),
+            w.astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    contrib = half(x_lo, s_lo, m_lo, False)
+    if has_hi:
+        contrib = contrib + half(x_hi, s_hi, m_hi, True)
+    acc[:] = acc[:] + contrib
+
+    @pl.when(k == nk - 1)
+    def _():
+        o_ref[:] = acc[:]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("kind", "shape", "keys", "out_dtype", "interpret", "tn", "tb"),
+)
+def _qmm_call(x2d, arrays_tuple, kind, shape, keys, out_dtype, interpret, tn, tb):
+    a = dict(zip(keys, arrays_tuple))
+    N = 1
+    for s in shape[:-1]:
+        N *= s
+    K = shape[-1]
+    B = x2d.shape[0]
+    g = GROUP_SIZE[kind]
+    has_qh = "qh" in a
+    has_mins = "mins" in a
+    has_hi = kind != "q8"
+
+    if kind == "q8":
+        max_tk2 = K
+    elif kind in ("q5", "q3"):
+        max_tk2 = K // 8
+    elif kind in ("q6", "q2"):
+        max_tk2 = K // 4
+    else:  # q4
+        max_tk2 = K // 2
+
+    TK2 = _pow2_divisor(max_tk2, 256)
+    TK2 = max(TK2, g)  # at least one scale group
+    TN = min(tn, N) if N % 128 == 0 else N
+    while N % TN != 0:
+        TN //= 2
+    TB = min(tb, B)
+    kdepth = K // 2 if has_hi else K
+    nb, ni, nk = pl.cdiv(B, TB), pl.cdiv(N, TN), kdepth // TK2
+
+    sg = TK2 // g
+    qs_rows = a["qs"].shape[0]
+    qh_rows = a["qh"].shape[0] if has_qh else 1
+
+    in_specs = [pl.BlockSpec((TB, TK2), lambda b, i, k: (b, k), memory_space=pltpu.VMEM)]
+    inputs = [x2d]
+    if has_hi:
+        in_specs.append(
+            pl.BlockSpec(
+                (TB, TK2),
+                lambda b, i, k: (b, (K // 2) // TK2 + k),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        inputs.append(x2d)
+    in_specs.append(
+        pl.BlockSpec(
+            (TK2, TN),
+            lambda b, i, k: ((k * TK2 % qs_rows) // TK2, i),
+            memory_space=pltpu.VMEM,
+        )
+    )
+    inputs.append(a["qs"])
+    if has_qh:
+        in_specs.append(
+            pl.BlockSpec(
+                (TK2, TN),
+                lambda b, i, k: ((k * TK2 % qh_rows) // TK2, i),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        inputs.append(a["qh"])
+    s_lo_spec = pl.BlockSpec((sg, TN), lambda b, i, k: (k, i), memory_space=pltpu.VMEM)
+    s_hi_spec = pl.BlockSpec(
+        (sg, TN), lambda b, i, k: ((K // 2) // TK2 + k, i), memory_space=pltpu.VMEM
+    )
+    in_specs.append(s_lo_spec)
+    inputs.append(a["scales"])
+    if has_hi:
+        in_specs.append(s_hi_spec)
+        inputs.append(a["scales"])
+    if has_mins:
+        in_specs.append(s_lo_spec)
+        inputs.append(a["mins"])
+        if has_hi:
+            in_specs.append(s_hi_spec)
+            inputs.append(a["mins"])
+
+    kernel = functools.partial(
+        _qmm_kernel, kind, g, K, TK2, nk, has_qh, has_mins, has_hi
+    )
+    bytes_accessed = (
+        sum(v.size * v.dtype.itemsize for v in a.values()) + 2 * B * K + 4 * B * N
+    )
+    y = pl.pallas_call(
+        kernel,
+        grid=(nb, ni, nk),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (TB, TN), lambda b, i, k: (b, i), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, N), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((TB, TN), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * K * N, bytes_accessed=bytes_accessed, transcendentals=0
+        ),
+        interpret=interpret,
+    )(*inputs)
+    return y.astype(out_dtype)
+
+
+def qmm_pallas(
+    x: jnp.ndarray,
+    qt: QTensor,
+    out_dtype=None,
+    interpret: bool = False,
+    tn: int = 512,
+    tb: int = 256,
+) -> jnp.ndarray:
+    """Fused y = x @ dequant(W)^T. x: [..., K]; returns [..., N]."""
+    assert qt.layout == "kmajor", qt.layout
+    out_dtype = out_dtype or x.dtype
+    lead = x.shape[:-1]
+    K = x.shape[-1]
+    x2d = x.reshape(-1, K)
+    keys = tuple(sorted(qt.arrays))
+    arrays_tuple = tuple(qt.arrays[k] for k in keys)
+    y = _qmm_call(
+        x2d,
+        arrays_tuple,
+        qt.kind,
+        tuple(qt.shape),
+        keys,
+        jnp.dtype(out_dtype).name,
+        interpret,
+        tn,
+        tb,
+    )
+    N = 1
+    for s in qt.shape[:-1]:
+        N *= s
+    return y.reshape(*lead, N)
