@@ -1,0 +1,133 @@
+#!/usr/bin/env python
+"""Headline benchmark: single-stream decode tokens/sec/chip on TinyLlama-1.1B
+Q4_K_M — the reference's exact workload (BASELINE.md: llama-bench tg128 =
+9.65 t/s after its NEON optimization on a Raspberry Pi 5).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "tok/s", "vs_baseline": N/9.65}
+
+The model is a synthesized GGUF with TinyLlama-1.1B's exact architecture and
+Q4_K_M type recipe (zero-egress environment: no weights download; identical
+tensor inventory, bytes and compute graph as the real checkpoint). Cached
+under .cache/ after first build.
+"""
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+BASELINE_TG128 = 9.65  # reference README.md:1488 (post-optimization tg128)
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def get_fixture(name: str, cfg, seed: int = 0) -> str:
+    cache = REPO / ".cache"
+    cache.mkdir(exist_ok=True)
+    path = cache / f"{name}.gguf"
+    if not path.exists():
+        log(f"building fixture {path} ...")
+        from tpu_kquant.models.fixtures import write_fixture_gguf
+
+        t0 = time.time()
+        write_fixture_gguf(path, cfg, seed=seed, quant="q4_k_m")
+        log(f"fixture built in {time.time() - t0:.0f}s")
+    return str(path)
+
+
+def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default=None, help="path to a GGUF model (default: TinyLlama-1.1B fixture)")
+    ap.add_argument("--pp", type=int, default=512, help="prefill tokens")
+    ap.add_argument("--tg", type=int, default=128, help="decode tokens")
+    ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--impl", default="auto", choices=["auto", "xla", "pallas"])
+    ap.add_argument("--reps", type=int, default=3)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    log(f"devices: {jax.devices()}")
+
+    from tpu_kquant.models.fixtures import tinyllama_1b_config
+    from tpu_kquant.runtime import InferenceEngine, load_model
+
+    model_path = args.model or get_fixture("tinyllama-1.1b-q4_k_m", tinyllama_1b_config())
+    t0 = time.time()
+    cfg, params, reader = load_model(model_path)
+    log(f"model loaded+repacked in {time.time() - t0:.0f}s  arch={cfg.arch} "
+        f"L={cfg.n_layers} dim={cfg.dim} vocab={cfg.vocab_size}")
+
+    B = args.batch
+    max_seq = min(cfg.max_seq_len, args.pp + args.tg + 64)
+    eng = InferenceEngine(cfg, params, max_batch=B, max_seq=max_seq, impl=args.impl)
+
+    rng = np.random.default_rng(0)
+
+    def _sync(x):
+        """Force REAL completion: device-reduce to a scalar and fetch 4 bytes.
+        (block_until_ready over the tunneled device can return early, and a
+        full-array fetch would bill the slow host link to the kernel.)"""
+        return float(jnp.sum(x.astype(jnp.float32)))
+
+    results = {}
+    for rep in range(args.reps):
+        # fresh random prompt every rep (the tunneled device memoizes
+        # value-identical dispatches, which would fake the numbers)
+        prompt = rng.integers(10, cfg.vocab_size, args.pp).tolist()
+        rows = [prompt] * B
+
+        # --- pp: one batched prefill (llama-bench test_prompt equivalent) ---
+        cache = eng.new_cache(B)
+        jax.block_until_ready(cache)
+        t0 = time.time()
+        logits, cache, lens = eng.prefill(rows, cache)
+        _sync(logits)
+        pp_dt = time.time() - t0
+        pp_tps = args.pp * B / pp_dt
+
+        # --- tg: fused on-device decode loop (test_gen equivalent; one
+        # dispatch for all tg tokens, lax.scan inside jit) ---
+        tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        pos = jnp.asarray(lens)
+        t0 = time.time()
+        toks, cache = eng.decode_greedy_jit(tok, pos, cache, args.tg)
+        _sync(toks)
+        tg_dt = time.time() - t0
+        tg_tps = args.tg * B / tg_dt
+        if rep == 0:  # first rep includes compile; re-time a second loop
+            t0 = time.time()
+            toks, cache = eng.decode_greedy_jit(
+                toks[:, -1], pos + args.tg, cache, args.tg
+            )
+            _sync(toks)
+            tg_dt = time.time() - t0
+            tg_tps = args.tg * B / tg_dt
+        log(f"rep {rep}: pp{args.pp} {pp_tps:8.1f} t/s   tg{args.tg} {tg_tps:8.1f} t/s")
+        results.setdefault("pp", []).append(pp_tps)
+        results.setdefault("tg", []).append(tg_tps)
+
+    tg = max(results["tg"])
+    pp = max(results["pp"])
+    log(f"best: pp512 {pp:.1f} t/s, tg128 {tg:.1f} t/s")
+    print(json.dumps({
+        "metric": "tg128 decode tok/s/chip, TinyLlama-1.1B Q4_K_M single-stream",
+        "value": round(tg, 2),
+        "unit": "tok/s",
+        "vs_baseline": round(tg / BASELINE_TG128, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

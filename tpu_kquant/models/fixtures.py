@@ -130,3 +130,60 @@ def write_fixture_gguf(
             add(p + "ffn_up.weight", (F, D))
             add(p + "ffn_down.weight", (D, F))
     return str(w.write())
+
+
+def random_qparams(cfg: ModelConfig, seed: int = 0, scale_mag: float = 0.01):
+    """Build a params pytree with random *packed* quantized weights directly —
+    no quantization pass, so even billion-parameter models materialize in
+    seconds. Numerics are garbage (random codes) but shapes, dtypes, layouts
+    and compute graphs are identical to a real Q4_K_M load; used for compile
+    checks and kernel benchmarking.
+    """
+    import jax.numpy as jnp
+
+    from tpu_kquant.quant.qtensor import QTensor
+
+    rng = np.random.default_rng(seed)
+
+    def q4(shape, layout="kmajor"):
+        N = int(np.prod(shape[:-1]))
+        K = shape[-1]
+        qs = rng.integers(0, 256, (K // 2, N), dtype=np.uint8)
+        scales = (rng.random((K // 32, N), dtype=np.float32) * scale_mag)
+        mins = (rng.random((K // 32, N), dtype=np.float32) * scale_mag)
+        arrays = {"qs": qs, "scales": scales, "mins": mins}
+        if layout == "rowmajor":
+            arrays = {k: np.ascontiguousarray(v.T) for k, v in arrays.items()}
+        return QTensor("q4", layout, tuple(shape), {k: jnp.asarray(v) for k, v in arrays.items()})
+
+    def dense(shape):
+        return QTensor("dense", "dense", tuple(shape),
+                       {"w": jnp.ones(shape, jnp.float32)})
+
+    D, H, Hkv, hd, F, V = (cfg.dim, cfg.n_heads, cfg.n_kv_heads, cfg.head_dim,
+                           cfg.ffn_dim, cfg.vocab_size)
+    params = {
+        "tok_embd": q4((V, D), "rowmajor"),
+        "output_norm": dense((D,)),
+        "output": q4((V, D)),
+        "layers": [],
+    }
+    for _ in range(cfg.n_layers):
+        layer = {
+            "attn_norm": dense((D,)),
+            "wq": q4((H * hd, D)),
+            "wk": q4((Hkv * hd, D)),
+            "wv": q4((Hkv * hd, D)),
+            "wo": q4((D, H * hd)),
+            "ffn_norm": dense((D,)),
+        }
+        if cfg.is_moe:
+            layer["gate_inp"] = q4((cfg.n_experts, D))
+            layer["experts"] = [
+                {"w_gate": q4((F, D)), "w_up": q4((F, D)), "w_down": q4((D, F))}
+                for _ in range(cfg.n_experts)
+            ]
+        else:
+            layer.update(w_gate=q4((F, D)), w_up=q4((F, D)), w_down=q4((D, F)))
+        params["layers"].append(layer)
+    return params

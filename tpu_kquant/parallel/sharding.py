@@ -1,0 +1,90 @@
+"""GSPMD sharding rules for packed QTensors (TP/DP; EP via expert sharding).
+
+Megatron-style tensor parallelism, adapted to packed layouts: column-parallel
+projections shard the output dim N (the lane axis of every kmajor array);
+row-parallel projections shard the contraction dim K — and because every
+kmajor side array's leading axis is K-derived (K/2 nibbles, K/8 qh bits,
+K/g scales), one PartitionSpec per orientation covers all packed fields, and
+256-element superblocks never straddle shards as long as K/(2*n_model) stays
+a multiple of the pack fold (guaranteed: K multiple of 256, n_model a power
+of two). XLA inserts the all-reduce after row-parallel matmuls.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from tpu_kquant.quant.qtensor import QTensor
+
+# tensor-name suffix -> TP orientation
+_COLUMN_PARALLEL = ("attn_q.weight", "attn_k.weight", "attn_v.weight",
+                    "ffn_gate.weight", "ffn_up.weight", "output.weight",
+                    "expert", ".gate", ".up")
+_ROW_PARALLEL = ("attn_output.weight", "ffn_down.weight", ".down")
+
+
+def _orientation(name: str) -> str:
+    if any(name.endswith(s) or s in name for s in _ROW_PARALLEL):
+        return "row"
+    if any(name.endswith(s) or s in name for s in _COLUMN_PARALLEL):
+        return "col"
+    return "replicated"
+
+
+def _divisible(qt: QTensor, axis: int, n: int) -> bool:
+    return all(v.shape[axis] % n == 0 for v in qt.arrays.values() if v.ndim == 2)
+
+
+def shard_qtensor(qt: QTensor, mesh: Mesh, orientation: str) -> QTensor:
+    """device_put a QTensor with TP sharding. kmajor arrays are [K-ish, N]."""
+    n_model = mesh.shape["model"]
+    spec = P()
+    if qt.layout == "kmajor" and n_model > 1:
+        if orientation == "col" and _divisible(qt, 1, n_model):
+            spec = P(None, "model")
+        elif orientation == "row" and _divisible(qt, 0, n_model):
+            spec = P("model", None)
+    arrays = {
+        k: jax.device_put(v, NamedSharding(mesh, spec if v.ndim == 2 else P()))
+        for k, v in qt.arrays.items()
+    }
+    return QTensor(qt.kind, qt.layout, qt.shape, arrays)
+
+
+def make_param_put(mesh: Mesh):
+    """A ``put(name, qtensor)`` for runtime.loader.load_model that applies the
+    TP rules above (embeddings and norms replicated)."""
+
+    def put(name: str, qt: QTensor) -> QTensor:
+        return shard_qtensor(qt, mesh, _orientation(name))
+
+    return put
+
+
+def shard_cache(cache: Any, mesh: Mesh) -> Any:
+    """Shard a KVCache: batch over 'data', kv heads over 'model'."""
+    n_model = mesh.shape["model"]
+    n_data = mesh.shape["data"]
+
+    def put(x, with_head_axis: bool):
+        if x is None:
+            return None
+        spec = [None] * x.ndim
+        if n_data > 1 and x.shape[1] % n_data == 0:
+            spec[1] = "data"
+        h_ax = 3
+        if with_head_axis and n_model > 1 and x.shape[h_ax] % n_model == 0:
+            spec[h_ax] = "model"
+        return jax.device_put(x, NamedSharding(mesh, P(*spec)))
+
+    from tpu_kquant.runtime.kv_cache import KVCache
+
+    return KVCache(
+        k=put(cache.k, True),
+        v=put(cache.v, True),
+        k_scale=put(cache.k_scale, True),
+        v_scale=put(cache.v_scale, True),
+    )

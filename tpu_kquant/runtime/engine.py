@@ -61,6 +61,28 @@ class InferenceEngine:
 
         self._step = _step
 
+        @partial(jax.jit, donate_argnums=(3,), static_argnums=(4,))
+        def _decode_loop(params, first_tok, start_pos, cache, n_steps):
+            """n_steps greedy decode steps fused into ONE executable
+            (lax.scan): no host round-trip per token — the TPU-native
+            replacement for llama-bench's per-token llama_decode loop."""
+
+            def body(carry, _):
+                tok, pos, cache = carry
+                logits, cache = fwd(
+                    params, cfg, tok[:, None], pos[:, None], cache,
+                    logits_last_only=True,
+                )
+                ntok = jnp.argmax(logits[:, 0, :], axis=-1).astype(jnp.int32)
+                return (ntok, pos + 1, cache), ntok
+
+            (tok, pos, cache), toks = jax.lax.scan(
+                body, (first_tok, start_pos, cache), length=n_steps
+            )
+            return toks.T, cache  # [B, n_steps]
+
+        self._decode_loop = _decode_loop
+
     def new_cache(self, batch: int | None = None) -> KVCache:
         return KVCache.create(
             self.cfg.n_layers,
@@ -94,6 +116,12 @@ class InferenceEngine:
             self.params, tokens[:, None], positions[:, None], cache, True
         )
         return logits[:, 0, :], cache
+
+    def decode_greedy_jit(self, first_tok: jnp.ndarray, start_pos: jnp.ndarray,
+                          cache: KVCache, n_steps: int):
+        """[B] first tokens -> ([B, n_steps] greedy tokens, cache); fully
+        on-device (single dispatch)."""
+        return self._decode_loop(self.params, first_tok, start_pos, cache, n_steps)
 
     # -- generation loop -------------------------------------------------------
     def generate(
