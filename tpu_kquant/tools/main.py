@@ -1,0 +1,55 @@
+"""Generate CLI — the end-user entry point (llama-cli equivalent).
+
+Usage:
+  python -m tpu_kquant.tools.main --model m.gguf --prompt "..." -n 64
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description="tpu-kquant text generation")
+    ap.add_argument("--model", "-m", required=True)
+    ap.add_argument("--prompt", "-p", default="Hello")
+    ap.add_argument("-n", "--n-tokens", type=int, default=64)
+    ap.add_argument("--temp", type=float, default=0.0)
+    ap.add_argument("--top-k", type=int, default=40)
+    ap.add_argument("--top-p", type=float, default=0.95)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--impl", default="auto", choices=["auto", "xla", "pallas"])
+    ap.add_argument("--kv-int8", action="store_true", help="INT8 KV cache")
+    ap.add_argument("--max-seq", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    from tpu_kquant.runtime import InferenceEngine, load_model
+    from tpu_kquant.tokenizer import from_gguf_metadata
+
+    t0 = time.time()
+    cfg, params, reader = load_model(args.model)
+    tok = from_gguf_metadata(reader.metadata)
+    print(f"[load {time.time()-t0:.1f}s] {cfg.arch} L={cfg.n_layers} dim={cfg.dim} "
+          f"vocab={cfg.vocab_size}", file=sys.stderr)
+
+    ids = tok.encode(args.prompt, add_bos=True)
+    max_seq = args.max_seq or min(cfg.max_seq_len, len(ids) + args.n_tokens + 16)
+    eng = InferenceEngine(cfg, params, max_batch=1, max_seq=max_seq,
+                          kv_quantized=args.kv_int8, impl=args.impl)
+    t0 = time.time()
+    out = eng.generate(
+        [ids], max_new_tokens=args.n_tokens, temperature=args.temp,
+        top_k=args.top_k, top_p=args.top_p,
+        eos_id=getattr(tok, "eos_id", None), seed=args.seed,
+    )[0]
+    dt = time.time() - t0
+    text = tok.decode(out)
+    print(text)
+    print(f"[{len(out)} tokens in {dt:.2f}s = {len(out)/dt:.1f} tok/s]", file=sys.stderr)
+    return text
+
+
+if __name__ == "__main__":
+    main()
