@@ -1,0 +1,87 @@
+"""Continuous batching: outputs must match standalone greedy generation even
+with staggered admission and mixed-length requests sharing the batch."""
+
+import numpy as np
+import pytest
+
+from tpu_kquant.models.fixtures import tiny_config, write_fixture_gguf
+from tpu_kquant.runtime import InferenceEngine, load_model
+from tpu_kquant.serving import ContinuousBatcher, Request
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    path = tmp_path_factory.mktemp("m") / "serve.gguf"
+    cfg = tiny_config(n_layers=2, dim=64, n_heads=4, n_kv_heads=2, ffn_dim=128,
+                      vocab_size=512, max_seq_len=256)
+    write_fixture_gguf(path, cfg, seed=13, quant="q4_k_m", scale=0.08)
+    cfg, params, _ = load_model(str(path))
+    return cfg, params
+
+
+def test_single_request_matches_generate(setup):
+    cfg, params = setup
+    eng = InferenceEngine(cfg, params, max_batch=2, max_seq=64, impl="xla")
+    want = eng.generate([[3, 100, 7]], max_new_tokens=6)[0]
+
+    cb = ContinuousBatcher(eng)
+    cb.submit(Request(prompt=[3, 100, 7], max_new_tokens=6))
+    done = cb.run()
+    assert len(done) == 1
+    assert done[0].output == want
+
+
+def test_concurrent_requests_match(setup):
+    cfg, params = setup
+    eng = InferenceEngine(cfg, params, max_batch=4, max_seq=64, impl="xla")
+    prompts = [[3, 100, 7], [9, 300], [17, 5, 11, 200, 42], [250]]
+    want = [eng.generate([p], max_new_tokens=5)[0] for p in prompts]
+
+    cb = ContinuousBatcher(eng)
+    for p in prompts:
+        cb.submit(Request(prompt=p, max_new_tokens=5))
+    done = sorted(cb.run(), key=lambda r: r.rid)
+    assert [r.output for r in done] == want
+
+
+def test_more_requests_than_slots(setup):
+    """Requests queue and join as slots free up (true continuous batching)."""
+    cfg, params = setup
+    eng = InferenceEngine(cfg, params, max_batch=2, max_seq=64, impl="xla")
+    prompts = [[3, 100, 7], [9, 300], [17, 5, 11], [250, 9], [77]]
+    want = [eng.generate([p], max_new_tokens=4)[0] for p in prompts]
+
+    cb = ContinuousBatcher(eng)
+    for i, p in enumerate(prompts):
+        cb.submit(Request(prompt=p, max_new_tokens=4))
+    done = sorted(cb.run(), key=lambda r: r.rid)
+    assert len(done) == 5
+    assert [r.output for r in done] == want
+
+
+def test_staggered_admission(setup):
+    """A request submitted mid-flight must not disturb running sequences."""
+    cfg, params = setup
+    eng = InferenceEngine(cfg, params, max_batch=2, max_seq=64, impl="xla")
+    w0 = eng.generate([[3, 100, 7]], max_new_tokens=8)[0]
+    w1 = eng.generate([[9, 300]], max_new_tokens=4)[0]
+
+    cb = ContinuousBatcher(eng)
+    cb.submit(Request(prompt=[3, 100, 7], max_new_tokens=8))
+    for _ in range(3):
+        cb.step()
+    cb.submit(Request(prompt=[9, 300], max_new_tokens=4))
+    done = sorted(cb.run(), key=lambda r: r.rid)
+    assert done[0].output == w0
+    assert done[1].output == w1
+
+
+def test_eos_stops_early(setup):
+    cfg, params = setup
+    eng = InferenceEngine(cfg, params, max_batch=2, max_seq=64, impl="xla")
+    probe = eng.generate([[3, 100, 7]], max_new_tokens=8)[0]
+    eos = probe[2]  # force early stop at the 3rd generated token
+    cb = ContinuousBatcher(eng)
+    cb.submit(Request(prompt=[3, 100, 7], max_new_tokens=8, eos_id=eos))
+    done = cb.run()
+    assert done[0].output == probe[:3]

@@ -83,6 +83,21 @@ class InferenceEngine:
 
         self._decode_loop = _decode_loop
 
+        from tpu_kquant.runtime.kv_cache import set_batch_row, slice_batch_row
+
+        @partial(jax.jit, donate_argnums=(3,))
+        def _prefill_slot(params, tokens, positions, cache, slot):
+            """Prefill ONE sequence into batch row ``slot`` (traced index)
+            while other rows' cache stays intact — the primitive behind
+            continuous batching (requests join a running batch)."""
+            row = slice_batch_row(cache, slot)
+            logits, row = fwd(
+                params, cfg, tokens, positions, row, logits_last_only=False
+            )
+            return logits[0], set_batch_row(cache, row, slot)
+
+        self._prefill_slot = _prefill_slot
+
     def new_cache(self, batch: int | None = None) -> KVCache:
         return KVCache.create(
             self.cfg.n_layers,
@@ -116,6 +131,19 @@ class InferenceEngine:
             self.params, tokens[:, None], positions[:, None], cache, True
         )
         return logits[:, 0, :], cache
+
+    def prefill_slot(self, tokens: list[int], cache: KVCache, slot: int):
+        """Prefill one request into batch row ``slot``. Returns (last_logits
+        [V], cache)."""
+        T = _bucket(len(tokens))
+        toks = np.zeros((1, T), np.int32)
+        toks[0, : len(tokens)] = tokens
+        positions = np.arange(T, dtype=np.int32)[None, :]
+        logits, cache = self._prefill_slot(
+            self.params, jnp.asarray(toks), jnp.asarray(positions), cache,
+            jnp.int32(slot),
+        )
+        return logits[len(tokens) - 1], cache
 
     def decode_greedy_jit(self, first_tok: jnp.ndarray, start_pos: jnp.ndarray,
                           cache: KVCache, n_steps: int):

@@ -114,3 +114,28 @@ class KVCache:
                 (self.k_scale[layer_idx], self.v_scale[layer_idx]),
             )
         return self.k[layer_idx], self.v[layer_idx], None
+
+
+def slice_batch_row(cache: KVCache, slot) -> KVCache:
+    """View of one batch row (slot may be traced): [L, 1, S, Hkv, D]."""
+    import jax
+
+    def sl(x):
+        return None if x is None else jax.lax.dynamic_slice_in_dim(x, slot, 1, axis=1)
+
+    return KVCache(sl(cache.k), sl(cache.v), sl(cache.k_scale), sl(cache.v_scale))
+
+
+def set_batch_row(cache: KVCache, row: KVCache, slot) -> KVCache:
+    """Write a [L, 1, ...] row cache back into batch position ``slot``."""
+    import jax
+
+    def st(x, u):
+        return None if x is None else jax.lax.dynamic_update_slice_in_dim(x, u, slot, axis=1)
+
+    return KVCache(
+        st(cache.k, row.k),
+        st(cache.v, row.v),
+        st(cache.k_scale, row.k_scale),
+        st(cache.v_scale, row.v_scale),
+    )
