@@ -613,11 +613,21 @@ def dequantize(data: np.ndarray, ggml_type: GGMLType, shape: tuple[int, ...]) ->
     return _DEQUANT[t](blocks).reshape(shape).astype(np.float32)
 
 
-def quantize(x: np.ndarray, ggml_type: GGMLType) -> np.ndarray:
-    """Encode a float array into raw ggml bytes (flat uint8)."""
+def quantize(x: np.ndarray, ggml_type: GGMLType, use_native: bool = True) -> np.ndarray:
+    """Encode a float array into raw ggml bytes (flat uint8).
+
+    Uses the multithreaded C++ quantizer (csrc/tkq.cpp) when available for
+    Q4_K/Q6_K/Q8_0 (bit-identical for the K-quants); NumPy otherwise.
+    """
     t = GGMLType(ggml_type)
     x = np.asarray(x, np.float32)
     n = x.size
+    if use_native and t in (GGMLType.Q4_K, GGMLType.Q6_K, GGMLType.Q8_0):
+        from tpu_kquant.quant.native import quantize_native
+
+        out = quantize_native(x.reshape(-1), int(t))
+        if out is not None:
+            return out
     if t == GGMLType.F32:
         return x.astype("<f4").reshape(-1).view(np.uint8)
     if t == GGMLType.F16:

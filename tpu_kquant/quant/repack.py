@@ -202,6 +202,16 @@ def repack(
     kind, decoder = _DECODERS[t]
     N = int(np.prod(shape[:-1]))
     K = shape[-1]
+
+    if layout == "kmajor" and scale_dtype == np.float32:
+        # fast path: multithreaded C++ repack (bit-identical; csrc/tkq.cpp)
+        from tpu_kquant.quant.native import GGML_KIND_CODE, repack_kmajor_native
+
+        if int(t) in GGML_KIND_CODE:
+            arrays = repack_kmajor_native(kind, raw, N, K)
+            if arrays is not None:
+                return QTensor(kind, "kmajor", tuple(shape), arrays)
+
     bs, ts = block_size(t), type_size(t)
     blocks = np.ascontiguousarray(raw[: N * K // bs * ts]).reshape(-1, ts)
     codes, scale_eff, min_eff, group = decoder(blocks)
