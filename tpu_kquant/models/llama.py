@@ -45,8 +45,13 @@ def llama_layer(
     H, Hkv, D = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
 
     h = rms_norm(x, _norm_w(layer["attn_norm"]), cfg.norm_eps)
-    q = qmatmul(h, layer["wq"], impl).reshape(B, T, H, D)
-    k = qmatmul(h, layer["wk"], impl).reshape(B, T, Hkv, D)
+    if "wqk" in layer:  # fused QK projection (loader.fuse_kmajor)
+        qk = qmatmul(h, layer["wqk"], impl)
+        q = qk[..., : H * D].reshape(B, T, H, D)
+        k = qk[..., H * D :].reshape(B, T, Hkv, D)
+    else:
+        q = qmatmul(h, layer["wq"], impl).reshape(B, T, H, D)
+        k = qmatmul(h, layer["wk"], impl).reshape(B, T, Hkv, D)
     v = qmatmul(h, layer["wv"], impl).reshape(B, T, Hkv, D)
     if cfg.attn_bias:
         q = q + layer["bq"].reshape(H, D)
@@ -66,6 +71,10 @@ def llama_layer(
         from tpu_kquant.models.moe import moe_ffn
 
         x = x + moe_ffn(layer, cfg, h, impl)
+    elif "w_gateup" in layer:  # fused gate+up projection
+        gu = qmatmul(h, layer["w_gateup"], impl)
+        F = gu.shape[-1] // 2
+        x = x + qmatmul(swiglu(gu[..., :F], gu[..., F:]), layer["w_down"], impl)
     else:
         gate = qmatmul(h, layer["w_gate"], impl)
         up = qmatmul(h, layer["w_up"], impl)

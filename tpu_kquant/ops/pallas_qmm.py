@@ -146,7 +146,7 @@ def _qmm_call(x2d, arrays_tuple, kind, shape, keys, out_dtype, interpret, tn, tb
     else:  # q4
         max_tk2 = K // 2
 
-    TK2 = _pow2_divisor(max_tk2, 256)
+    TK2 = _pow2_divisor(max_tk2, _TK_DEFAULT)
     TK2 = max(TK2, g)  # at least one scale group
     TN = min(tn, N) if N % 128 == 0 else N
     while N % TN != 0:
@@ -226,15 +226,22 @@ def _qmm_call(x2d, arrays_tuple, kind, shape, keys, out_dtype, interpret, tn, tb
     return y.astype(out_dtype)
 
 
+import os
+
+_TN_DEFAULT = int(os.environ.get("TKQ_TN", "2048"))
+_TK_DEFAULT = int(os.environ.get("TKQ_TK", "256"))
+
+
 def qmm_pallas(
     x: jnp.ndarray,
     qt: QTensor,
     out_dtype=None,
     interpret: bool = False,
-    tn: int = 512,
+    tn: int | None = None,
     tb: int = 256,
 ) -> jnp.ndarray:
     """Fused y = x @ dequant(W)^T. x: [..., K]; returns [..., N]."""
+    tn = tn or _TN_DEFAULT
     assert qt.layout == "kmajor", qt.layout
     out_dtype = out_dtype or x.dtype
     lead = x.shape[:-1]

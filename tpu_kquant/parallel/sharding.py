@@ -21,6 +21,7 @@ from tpu_kquant.quant.qtensor import QTensor
 
 # tensor-name suffix -> TP orientation
 _COLUMN_PARALLEL = ("attn_q.weight", "attn_k.weight", "attn_v.weight",
+                    "attn_qk.weight", "ffn_gateup.weight",
                     "ffn_gate.weight", "ffn_up.weight", "output.weight",
                     "expert", ".gate", ".up")
 _ROW_PARALLEL = ("attn_output.weight", "ffn_down.weight", ".down")
@@ -61,6 +62,7 @@ def make_param_put(mesh: Mesh):
     def put(name: str, qt: QTensor) -> QTensor:
         return shard_qtensor(qt, mesh, _orientation(name))
 
+    put.tp_size = mesh.shape["model"]  # loader disables QK/gate-up fusion when >1
     return put
 
 

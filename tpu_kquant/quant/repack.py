@@ -203,13 +203,17 @@ def repack(
     N = int(np.prod(shape[:-1]))
     K = shape[-1]
 
-    if layout == "kmajor" and scale_dtype == np.float32:
+    if layout == "kmajor":
         # fast path: multithreaded C++ repack (bit-identical; csrc/tkq.cpp)
         from tpu_kquant.quant.native import GGML_KIND_CODE, repack_kmajor_native
 
         if int(t) in GGML_KIND_CODE:
             arrays = repack_kmajor_native(kind, raw, N, K)
             if arrays is not None:
+                if scale_dtype != np.float32:
+                    for key in ("scales", "mins"):
+                        if key in arrays:
+                            arrays[key] = arrays[key].astype(scale_dtype)
                 return QTensor(kind, "kmajor", tuple(shape), arrays)
 
     bs, ts = block_size(t), type_size(t)

@@ -48,18 +48,42 @@ def _expert_split(r: GGUFReader, name: str, scale_dtype=np.float32) -> list[QTen
     ]
 
 
+def fuse_kmajor(qts: list[QTensor]) -> QTensor | None:
+    """Concatenate same-kind kmajor QTensors along N (fused QK / gate+up
+    projections — one kernel launch instead of two on the decode path)."""
+    if not all(q.layout == "kmajor" and q.kind == qts[0].kind for q in qts):
+        return None
+    if not all(q.shape[-1] == qts[0].shape[-1] for q in qts):
+        return None
+    if not all(set(q.arrays) == set(qts[0].arrays) for q in qts):
+        return None
+    arrays = {
+        k: np.concatenate([np.asarray(q.arrays[k]) for q in qts], axis=1)
+        for k in qts[0].arrays
+    }
+    n_total = sum(int(np.prod(q.shape[:-1])) for q in qts)
+    return QTensor(qts[0].kind, "kmajor", (n_total, qts[0].shape[-1]), arrays)
+
+
 def load_model(
     path: str,
     put: Callable[[str, QTensor], QTensor] | None = None,
     scale_dtype=np.float32,
+    fuse: bool | None = None,
 ) -> tuple[ModelConfig, dict[str, Any], GGUFReader]:
     """Load a GGUF model. ``put`` optionally device_puts/shards each QTensor
     (parallel.sharding provides mesh-aware versions). Returns the open reader
-    too (metadata/tokenizer live there)."""
+    too (metadata/tokenizer live there).
+
+    fuse: merge QK and gate+up projections into single packed matmuls.
+    Defaults to on for single-shard runs, off under tensor parallelism
+    (the concat boundary would straddle TP shards)."""
     r = GGUFReader(path)
     cfg = ModelConfig.from_gguf(r.metadata)
     if cfg.arch not in LLAMA_FAMILY:
         raise ValueError(f"unsupported architecture {cfg.arch!r}")
+    if fuse is None:
+        fuse = getattr(put, "tp_size", 1) == 1
 
     def rp(name: str, layout: str = "kmajor") -> QTensor:
         return _put(_repack_named(r, name, layout, scale_dtype), put, name)
@@ -79,12 +103,20 @@ def load_model(
         p = f"blk.{i}."
         layer: dict[str, Any] = {
             "attn_norm": rp(p + "attn_norm.weight", "dense"),
-            "wq": rp(p + "attn_q.weight"),
-            "wk": rp(p + "attn_k.weight"),
-            "wv": rp(p + "attn_v.weight"),
             "wo": rp(p + "attn_output.weight"),
             "ffn_norm": rp(p + "ffn_norm.weight", "dense"),
         }
+        wq = _repack_named(r, p + "attn_q.weight", "kmajor", scale_dtype)
+        wk = _repack_named(r, p + "attn_k.weight", "kmajor", scale_dtype)
+        wv = _repack_named(r, p + "attn_v.weight", "kmajor", scale_dtype)
+        fused_qk = fuse_kmajor([wq, wk]) if fuse else None
+        if fused_qk is not None:
+            layer["wqk"] = _put(fused_qk, put, p + "attn_qk.weight")
+            layer["wv"] = _put(wv, put, p + "attn_v.weight")
+        else:
+            layer["wq"] = _put(wq, put, p + "attn_q.weight")
+            layer["wk"] = _put(wk, put, p + "attn_k.weight")
+            layer["wv"] = _put(wv, put, p + "attn_v.weight")
         if cfg.attn_bias:
             for b, nm in (("bq", "attn_q.bias"), ("bk", "attn_k.bias"), ("bv", "attn_v.bias")):
                 layer[b] = jnp.asarray(r.tensor_float(p + nm))
@@ -105,8 +137,14 @@ def load_model(
                 )
             ]
         else:
-            layer["w_gate"] = rp(p + "ffn_gate.weight")
-            layer["w_up"] = rp(p + "ffn_up.weight")
+            wg = _repack_named(r, p + "ffn_gate.weight", "kmajor", scale_dtype)
+            wu = _repack_named(r, p + "ffn_up.weight", "kmajor", scale_dtype)
+            fused_gu = fuse_kmajor([wg, wu]) if fuse else None
+            if fused_gu is not None:
+                layer["w_gateup"] = _put(fused_gu, put, p + "ffn_gateup.weight")
+            else:
+                layer["w_gate"] = _put(wg, put, p + "ffn_gate.weight")
+                layer["w_up"] = _put(wu, put, p + "ffn_up.weight")
             layer["w_down"] = rp(p + "ffn_down.weight")
         layers.append(layer)
     params["layers"] = layers
