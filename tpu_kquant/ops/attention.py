@@ -13,6 +13,13 @@ import jax
 import jax.numpy as jnp
 
 
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:  # pragma: no cover
+        return False
+
+
 def attention_decode(
     q: jnp.ndarray,  # [B, T, H, D]
     k_cache: jnp.ndarray,  # [B, S, Hkv, D]   (bf16 or int8)
@@ -22,14 +29,37 @@ def attention_decode(
     scale: float | None = None,
     logit_softcap: float = 0.0,
     sliding_window: int = 0,
+    impl: str = "auto",
 ) -> jnp.ndarray:
     """Causal GQA attention of T query tokens against S cache slots.
 
     Cache slot j holds absolute position j (ring-free layout); slots beyond a
     sequence's current length hold garbage but are masked because j > q_pos.
     Returns [B, T, H, D] in q.dtype.
+
+    Dispatch: single-query decode on TPU uses the blockwise flash Pallas
+    kernel (ops.pallas_attention); everything else the fused XLA path below.
     """
     B, T, H, D = q.shape
+    if (
+        impl in ("auto", "pallas")
+        and T == 1
+        and logit_softcap == 0.0
+        and sliding_window == 0
+        and D % 64 == 0
+        and k_cache.shape[1] % 64 == 0
+        and (impl == "pallas" or _on_tpu())
+        # kernel-launch overhead only pays off once the KV working set is
+        # non-trivial (large batch and/or long context); below that the
+        # XLA-fused path wins at decode
+        and (impl == "pallas" or B * k_cache.shape[1] >= 4096)
+    ):
+        from tpu_kquant.ops.pallas_attention import attention_decode_pallas
+
+        return attention_decode_pallas(
+            q, k_cache, v_cache, q_positions, kv_scales, scale,
+            interpret=(impl == "pallas" and not _on_tpu()),
+        )
     S, Hkv = k_cache.shape[1], k_cache.shape[2]
     G = H // Hkv  # query groups per kv head
     if scale is None:

@@ -1,0 +1,153 @@
+"""Blockwise (flash-style) decode attention Pallas kernel.
+
+Replaces the reference's attention vec-dots + materialized kq_mask
+(SURVEY.md 3.3: ggml_vec_dot_f16 over an f16 KV cache, soft_max_f32,
+llama_kv_cache::set_input_kq_mask). TPU-native differences:
+
+  - online softmax over S-tiles (running max / denominator in VMEM scratch)
+    so no [S] logits row ever materializes in HBM;
+  - the causal mask is COMPUTED from positions (iota <= q_pos), never stored;
+  - INT8 KV support: K-scales fold into the logits columns after the QK^T
+    matmul (one VPU multiply per logit, not per K element); V tiles are
+    dequantized on cast;
+  - GQA: the G=H/Hkv query heads of one KV head form the rows of a single
+    MXU matmul per tile.
+
+Decode-shape kernel: T=1 (one query token per sequence). Prefill uses the
+fused XLA path in ops.attention.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG_INF = -1e30
+
+
+def _attn_kernel(TS, nS, scale, quantized, *refs):
+    if quantized:
+        (qpos_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref,
+         acc, m_scr, l_scr) = refs
+    else:
+        qpos_ref, q_ref, k_ref, v_ref, o_ref, acc, m_scr, l_scr = refs
+        ks_ref = vs_ref = None
+
+    s_idx = pl.program_id(2)
+
+    @pl.when(s_idx == 0)
+    def _():
+        acc[:] = jnp.zeros_like(acc)
+        m_scr[:] = jnp.full_like(m_scr, _NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+
+    q_pos = qpos_ref[0, 0]
+    tile_start = s_idx * TS
+
+    @pl.when(tile_start <= q_pos)
+    def _():
+        q = q_ref[0, 0]  # [G, D]
+        kf = k_ref[0, 0].astype(jnp.bfloat16)  # [TS, D]
+        vf = v_ref[0, 0].astype(jnp.bfloat16)
+        s = jax.lax.dot_general(
+            q.astype(jnp.bfloat16), kf,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale  # [G, TS]
+        if ks_ref is not None:
+            # int8 K: scale logits per column (token)
+            s = s * ks_ref[0, 0]
+        kv_idx = tile_start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(kv_idx <= q_pos, s, _NEG_INF)
+
+        m_prev = m_scr[:, 0:1]  # [G, 1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)  # [G, TS] f32
+        l_scr[:] = l_scr[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        if vs_ref is not None:
+            # int8 V: fold the per-token scale into p AFTER the softmax
+            # denominator is accumulated (vs must not normalize the weights)
+            p = p * vs_ref[0, 0]
+        acc[:] = acc[:] * alpha + jax.lax.dot_general(
+            p.astype(jnp.bfloat16), vf,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+
+    @pl.when(s_idx == nS - 1)
+    def _():
+        o_ref[0, 0] = (acc[:] / l_scr[:]).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "ts", "interpret"))
+def _attn_call(q, k, v, q_pos, k_scale, v_scale, scale, ts, interpret):
+    """q: [B, Hkv, G, D]; k/v: [B, S, Hkv, D]; q_pos: [B]."""
+    B, Hkv, G, D = q.shape
+    S = k.shape[1]
+    TS = ts
+    while S % TS != 0:
+        TS //= 2
+    nS = S // TS
+    quantized = k_scale is not None
+
+    # layout: bring Hkv forward so tiles are [TS, D] contiguous-ish per head
+    kt = k.transpose(0, 2, 1, 3)  # [B, Hkv, S, D]
+    vt = v.transpose(0, 2, 1, 3)
+
+    qpos_spec = pl.BlockSpec((1, 1), lambda b, h, s: (b, 0), memory_space=pltpu.SMEM)
+    q_spec = pl.BlockSpec((1, 1, G, D), lambda b, h, s: (b, h, 0, 0), memory_space=pltpu.VMEM)
+    kv_spec = pl.BlockSpec((1, 1, TS, D), lambda b, h, s: (b, h, s, 0), memory_space=pltpu.VMEM)
+    in_specs = [qpos_spec, q_spec, kv_spec, kv_spec]
+    inputs = [q_pos[:, None].astype(jnp.int32), q, kt, vt]
+    if quantized:
+        kst = k_scale.transpose(0, 2, 1)[:, :, None, :]  # [B, Hkv, 1, S]
+        vst = v_scale.transpose(0, 2, 1)[:, :, None, :]
+        kspec = pl.BlockSpec((1, 1, 1, TS), lambda b, h, s: (b, h, 0, s), memory_space=pltpu.VMEM)
+        in_specs += [kspec, kspec]
+        inputs += [kst, vst]
+
+    kernel = functools.partial(_attn_kernel, TS, nS, scale, quantized)
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, Hkv, nS),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, 1, G, D), lambda b, h, s: (b, h, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, Hkv, G, D), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((G, D), jnp.float32),
+            pltpu.VMEM((G, 1), jnp.float32),
+            pltpu.VMEM((G, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(*inputs)
+    return out
+
+
+def attention_decode_pallas(
+    q: jnp.ndarray,  # [B, 1, H, D]
+    k_cache: jnp.ndarray,  # [B, S, Hkv, D]
+    v_cache: jnp.ndarray,
+    q_positions: jnp.ndarray,  # [B, 1]
+    kv_scales=None,
+    scale: float | None = None,
+    ts: int = 256,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Flash decode attention; returns [B, 1, H, D]."""
+    B, T, H, D = q.shape
+    assert T == 1, "pallas decode kernel handles one query token per row"
+    Hkv = k_cache.shape[2]
+    G = H // Hkv
+    if scale is None:
+        scale = D**-0.5
+    qg = q[:, 0].reshape(B, Hkv, G, D)
+    ks, vs = (kv_scales if kv_scales is not None else (None, None))
+    out = _attn_call(qg, k_cache, v_cache, q_positions[:, 0], ks, vs,
+                     float(scale), ts, interpret)
+    return out.reshape(B, 1, H, D)
