@@ -121,6 +121,16 @@ def main():
     tg = max(results["tg"])
     pp = max(results["pp"])
     log(f"best: pp512 {pp:.1f} t/s, tg128 {tg:.1f} t/s")
+    try:
+        from tpu_kquant.utils.roofline import roofline_report
+
+        rep = roofline_report(params, cfg, tg, chip="v5e", batch=B,
+                              seq_len=args.pp + args.tg // 2)
+        log(f"roofline: {rep['bytes_per_step']/1e6:.0f} MB/step -> "
+            f"{rep['roofline_tok_s']:.0f} tok/s ceiling; measured "
+            f"{tg:.0f} = {rep['fraction_of_roofline']*100:.0f}% of v5e roofline")
+    except Exception as e:  # pragma: no cover
+        log("roofline report failed:", e)
     print(json.dumps({
         "metric": "tg128 decode tok/s/chip, TinyLlama-1.1B Q4_K_M single-stream",
         "value": round(tg, 2),

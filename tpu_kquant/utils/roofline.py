@@ -1,0 +1,90 @@
+"""Roofline accounting: are we at speed-of-light HBM bandwidth?
+
+The reference's whole methodology is perf-counter roofline analysis on a
+Cortex-A76 (SURVEY.md section 5 "Tracing/profiling": TMA counters, llvm-mca).
+The TPU equivalent is simpler arithmetic: single-stream decode is weight-
+bandwidth-bound, so tokens/s roofline = HBM_BW / bytes_touched_per_token.
+This module computes the bytes side from actual QTensor layouts and turns a
+measured tokens/s into a fraction-of-roofline figure (the north-star is >=90%
+in the dequant+matmul kernel).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+# chip generation -> (HBM GB/s, bf16 TFLOP/s); public spec-sheet numbers
+CHIP_SPECS = {
+    "v4": (1228.0, 275.0),
+    "v5e": (819.0, 197.0),
+    "v5p": (2765.0, 459.0),
+    "v6e": (1640.0, 918.0),
+}
+
+
+def qtensor_bytes(qt: Any) -> int:
+    return qt.n_bytes
+
+
+def model_bytes_per_token(params: dict[str, Any], batch: int = 1) -> dict[str, int]:
+    """HBM bytes touched per decode step (weights are re-read every token;
+    embeddings are gathered, so only ~one row counts)."""
+    from tpu_kquant.quant.qtensor import QTensor
+
+    weight_bytes = 0
+    embed_row_bytes = 0
+
+    def visit(name, node):
+        nonlocal weight_bytes, embed_row_bytes
+        if isinstance(node, QTensor):
+            if node.layout == "rowmajor":
+                embed_row_bytes += node.n_bytes // max(1, node.shape[0])
+            else:
+                weight_bytes += node.n_bytes
+        elif isinstance(node, dict):
+            for k, v in node.items():
+                visit(k, v)
+        elif isinstance(node, list):
+            for v in node:
+                visit(name, v)
+
+    visit("", params)
+    return {
+        "weight_bytes": weight_bytes,
+        "embed_row_bytes": embed_row_bytes * batch,
+        "total": weight_bytes + embed_row_bytes * batch,
+    }
+
+
+def kv_bytes_per_token(cfg, seq_len: int, batch: int, quantized: bool) -> int:
+    """KV cache bytes read per decode step (attention streams the full
+    prefix)."""
+    per_tok = cfg.n_kv_heads * cfg.head_dim * (1 if quantized else 2)
+    scales = cfg.n_kv_heads * 4 if quantized else 0
+    return 2 * cfg.n_layers * batch * seq_len * (per_tok + scales)
+
+
+def roofline_report(
+    params: dict[str, Any],
+    cfg,
+    measured_tok_s: float,
+    chip: str = "v5e",
+    batch: int = 1,
+    seq_len: int = 0,
+    kv_quantized: bool = False,
+) -> dict[str, float]:
+    hbm_gbs, _ = CHIP_SPECS.get(chip, CHIP_SPECS["v5e"])
+    wb = model_bytes_per_token(params, batch)["total"]
+    kb = kv_bytes_per_token(cfg, seq_len, batch, kv_quantized) if seq_len else 0
+    bytes_per_step = wb + kb
+    roof_steps = hbm_gbs * 1e9 / bytes_per_step
+    roof_tok_s = roof_steps * batch
+    return {
+        "bytes_per_step": float(bytes_per_step),
+        "weight_bytes": float(wb),
+        "kv_bytes": float(kb),
+        "roofline_tok_s": float(roof_tok_s),
+        "measured_tok_s": float(measured_tok_s),
+        "fraction_of_roofline": float(measured_tok_s / roof_tok_s),
+        "chip": chip,  # type: ignore[dict-item]
+    }
