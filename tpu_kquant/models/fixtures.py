@@ -118,6 +118,11 @@ def write_fixture_gguf(
         add(p + "attn_q.weight", (H * hd, D))
         add(p + "attn_k.weight", (Hkv * hd, D))
         add(p + "attn_v.weight", (Hkv * hd, D))
+        if cfg.arch == "qwen2":  # attention biases
+            for bn, bd in (("attn_q.bias", H * hd), ("attn_k.bias", Hkv * hd),
+                           ("attn_v.bias", Hkv * hd)):
+                w.add_tensor(p + bn, rng.standard_normal((bd,)).astype(np.float32) * scale,
+                             GGMLType.F32)
         add(p + "attn_output.weight", (D, H * hd))
         add(p + "ffn_norm.weight", (D,))
         if cfg.is_moe:

@@ -151,6 +151,48 @@ class InferenceEngine:
         on-device (single dispatch)."""
         return self._decode_loop(self.params, first_tok, start_pos, cache, n_steps)
 
+    # -- session persistence ---------------------------------------------------
+    def save_session(self, path: str, cache: KVCache, lengths) -> None:
+        """Serialize a KV cache + per-row lengths (the llama.cpp session-file
+        equivalent: resume generation without re-prefilling).
+
+        bf16 arrays are stored as uint16 bit patterns (npz has no bf16)."""
+        import numpy as np
+
+        def enc(x):
+            a = np.asarray(x)
+            if a.dtype.itemsize == 2 and a.dtype.kind == "V" or str(a.dtype) == "bfloat16":
+                return a.view(np.uint16)
+            return a
+
+        arrs = {"lengths": np.asarray(lengths, np.int32),
+                "k": enc(cache.k), "v": enc(cache.v),
+                "kv_dtype": np.frombuffer(str(cache.k.dtype).encode(), np.uint8)}
+        if cache.quantized:
+            arrs["k_scale"] = np.asarray(cache.k_scale)
+            arrs["v_scale"] = np.asarray(cache.v_scale)
+        np.savez(path, **arrs)
+
+    def load_session(self, path: str):
+        """Returns (cache, lengths)."""
+        import numpy as np
+
+        z = np.load(path)
+        dt = jnp.dtype(bytes(z["kv_dtype"]).decode())
+
+        def dec(a):
+            if a.dtype == np.uint16 and dt == jnp.bfloat16:
+                return jnp.asarray(a).view(jnp.bfloat16)
+            return jnp.asarray(a)
+
+        cache = KVCache(
+            k=dec(z["k"]),
+            v=dec(z["v"]),
+            k_scale=jnp.asarray(z["k_scale"]) if "k_scale" in z else None,
+            v_scale=jnp.asarray(z["v_scale"]) if "v_scale" in z else None,
+        )
+        return cache, z["lengths"]
+
     # -- generation loop -------------------------------------------------------
     def generate(
         self,

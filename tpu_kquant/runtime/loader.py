@@ -78,10 +78,14 @@ def load_model(
     fuse: merge QK and gate+up projections into single packed matmuls.
     Defaults to on for single-shard runs, off under tensor parallelism
     (the concat boundary would straddle TP shards)."""
+    import dataclasses
+
     r = GGUFReader(path)
     cfg = ModelConfig.from_gguf(r.metadata)
     if cfg.arch not in LLAMA_FAMILY:
         raise ValueError(f"unsupported architecture {cfg.arch!r}")
+    if "blk.0.attn_q.bias" in r.tensors:  # qwen2-style attention biases
+        cfg = dataclasses.replace(cfg, attn_bias=True)
     if fuse is None:
         fuse = getattr(put, "tp_size", 1) == 1
 
