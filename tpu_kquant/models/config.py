@@ -28,6 +28,7 @@ class ModelConfig:
     # MoE
     n_experts: int = 0
     n_experts_used: int = 0
+    moe_impl: str = "loop"  # 'loop' (per-expert Pallas) | 'ep' (sharded einsum)
     # misc arch quirks
     tie_embeddings: bool = False
     attn_bias: bool = False

@@ -151,11 +151,13 @@ def random_qparams(cfg: ModelConfig, seed: int = 0, scale_mag: float = 0.01):
     rng = np.random.default_rng(seed)
 
     def q4(shape, layout="kmajor"):
-        N = int(np.prod(shape[:-1]))
         K = shape[-1]
-        qs = rng.integers(0, 256, (K // 2, N), dtype=np.uint8)
-        scales = (rng.random((K // 32, N), dtype=np.float32) * scale_mag)
-        mins = (rng.random((K // 32, N), dtype=np.float32) * scale_mag)
+        # stacked expert tensors (E, N, K) keep their leading axis on arrays
+        pre = shape[:-2] if len(shape) > 2 else ()
+        N = shape[-2] if len(shape) > 1 else 1
+        qs = rng.integers(0, 256, (*pre, K // 2, N), dtype=np.uint8)
+        scales = (rng.random((*pre, K // 32, N), dtype=np.float32) * scale_mag)
+        mins = (rng.random((*pre, K // 32, N), dtype=np.float32) * scale_mag)
         arrays = {"qs": qs, "scales": scales, "mins": mins}
         if layout == "rowmajor":
             arrays = {k: np.ascontiguousarray(v.T) for k, v in arrays.items()}
@@ -183,11 +185,12 @@ def random_qparams(cfg: ModelConfig, seed: int = 0, scale_mag: float = 0.01):
             "ffn_norm": dense((D,)),
         }
         if cfg.is_moe:
-            layer["gate_inp"] = q4((cfg.n_experts, D))
-            layer["experts"] = [
-                {"w_gate": q4((F, D)), "w_up": q4((F, D)), "w_down": q4((D, F))}
-                for _ in range(cfg.n_experts)
-            ]
+            E = cfg.n_experts
+            layer["gate_inp"] = q4((E, D))
+            layer["experts"] = {
+                "w_gate": q4((E, F, D)), "w_up": q4((E, F, D)),
+                "w_down": q4((E, D, F)),
+            }
         else:
             layer.update(w_gate=q4((F, D)), w_up=q4((F, D)), w_down=q4((D, F)))
         params["layers"].append(layer)

@@ -23,8 +23,8 @@ from tpu_kquant.quant.qtensor import QTensor
 _COLUMN_PARALLEL = ("attn_q.weight", "attn_k.weight", "attn_v.weight",
                     "attn_qk.weight", "ffn_gateup.weight",
                     "ffn_gate.weight", "ffn_up.weight", "output.weight",
-                    "expert", ".gate", ".up")
-_ROW_PARALLEL = ("attn_output.weight", "ffn_down.weight", ".down")
+                    "ffn_gate_exps.weight", "ffn_up_exps.weight")
+_ROW_PARALLEL = ("attn_output.weight", "ffn_down.weight", "ffn_down_exps.weight")
 
 
 def _orientation(name: str) -> str:
@@ -40,16 +40,30 @@ def _divisible(qt: QTensor, axis: int, n: int) -> bool:
 
 
 def shard_qtensor(qt: QTensor, mesh: Mesh, orientation: str) -> QTensor:
-    """device_put a QTensor with TP sharding. kmajor arrays are [K-ish, N]."""
+    """device_put a QTensor with TP (+EP for stacked experts) sharding.
+
+    kmajor arrays are [K-ish, N]; stacked expert arrays are [E, K-ish, N]
+    and additionally shard their leading axis over 'expert'."""
     n_model = mesh.shape["model"]
-    spec = P()
-    if qt.layout == "kmajor" and n_model > 1:
-        if orientation == "col" and _divisible(qt, 1, n_model):
-            spec = P(None, "model")
-        elif orientation == "row" and _divisible(qt, 0, n_model):
-            spec = P("model", None)
+    n_expert = mesh.shape["expert"]
+
+    def spec_for(v) -> P:
+        tp: tuple = (None, None)
+        kax, nax = v.ndim - 2, v.ndim - 1
+        if qt.layout == "kmajor" and n_model > 1 and v.ndim >= 2:
+            if orientation == "col" and v.shape[nax] % n_model == 0:
+                tp = (None, "model")
+            elif orientation == "row" and v.shape[kax] % n_model == 0:
+                tp = ("model", None)
+        if v.ndim == 3:
+            e = "expert" if (n_expert > 1 and v.shape[0] % n_expert == 0) else None
+            return P(e, *tp)
+        if v.ndim == 2:
+            return P(*tp)
+        return P()
+
     arrays = {
-        k: jax.device_put(v, NamedSharding(mesh, spec if v.ndim == 2 else P()))
+        k: jax.device_put(v, NamedSharding(mesh, spec_for(v)))
         for k, v in qt.arrays.items()
     }
     return QTensor(qt.kind, qt.layout, qt.shape, arrays)
@@ -63,6 +77,7 @@ def make_param_put(mesh: Mesh):
         return shard_qtensor(qt, mesh, _orientation(name))
 
     put.tp_size = mesh.shape["model"]  # loader disables QK/gate-up fusion when >1
+    put.ep_size = mesh.shape["expert"]  # loader switches MoE to the EP einsum path
     return put
 
 

@@ -17,45 +17,49 @@ from tpu_kquant.quant.repack import GROUP_SIZE
 
 
 def _unpack_codes_kmajor(qt: QTensor) -> jnp.ndarray:
-    """Packed arrays -> integer codes [K, N] (int8/int32)."""
+    """Packed arrays -> integer codes [..., K, N] (int8/int32).
+
+    Axis -2 is the packed-K axis, so stacked expert tensors [E, K/2, N]
+    unpack the same way as plain [K/2, N] weights."""
     a = qt.arrays
     kind = qt.kind
+    ax = -2
     if kind == "q8":
         return a["qs"]
     if kind in ("q4", "q5", "q6"):
         qs = a["qs"]
-        q = jnp.concatenate([qs & 0xF, qs >> 4], axis=0)
+        q = jnp.concatenate([qs & 0xF, qs >> 4], axis=ax)
         if kind == "q5":
             qh = a["qh"]
-            h = jnp.concatenate([(qh >> j) & 1 for j in range(8)], axis=0)
+            h = jnp.concatenate([(qh >> j) & 1 for j in range(8)], axis=ax)
             q = q | (h << 4)
         elif kind == "q6":
             qh = a["qh"]
-            h = jnp.concatenate([(qh >> (2 * j)) & 3 for j in range(4)], axis=0)
+            h = jnp.concatenate([(qh >> (2 * j)) & 3 for j in range(4)], axis=ax)
             q = q | (h << 4)
         return q
     if kind in ("q2", "q3"):
         qs = a["qs"]
-        q = jnp.concatenate([(qs >> (2 * j)) & 3 for j in range(4)], axis=0)
+        q = jnp.concatenate([(qs >> (2 * j)) & 3 for j in range(4)], axis=ax)
         if kind == "q3":
             qh = a["qh"]
-            h = jnp.concatenate([(qh >> j) & 1 for j in range(8)], axis=0)
+            h = jnp.concatenate([(qh >> j) & 1 for j in range(8)], axis=ax)
             q = q | (h << 2)
         return q
     raise ValueError(f"unknown kind {kind}")
 
 
 def dequant_kmajor(qt: QTensor, dtype=jnp.float32) -> jnp.ndarray:
-    """Dequantize a kmajor QTensor to W^T of shape [K, N]."""
+    """Dequantize a kmajor QTensor to W^T of shape [..., K, N]."""
     if qt.kind == "dense":
         return qt.arrays["w"].T.astype(dtype)
     assert qt.layout == "kmajor", qt.layout
     g = GROUP_SIZE[qt.kind]
     q = _unpack_codes_kmajor(qt).astype(jnp.float32)
-    scales = jnp.repeat(qt.arrays["scales"].astype(jnp.float32), g, axis=0)
+    scales = jnp.repeat(qt.arrays["scales"].astype(jnp.float32), g, axis=-2)
     w = q * scales
     if "mins" in qt.arrays:
-        w = w - jnp.repeat(qt.arrays["mins"].astype(jnp.float32), g, axis=0)
+        w = w - jnp.repeat(qt.arrays["mins"].astype(jnp.float32), g, axis=-2)
     return w.astype(dtype)
 
 

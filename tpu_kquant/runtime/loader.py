@@ -86,6 +86,8 @@ def load_model(
         raise ValueError(f"unsupported architecture {cfg.arch!r}")
     if "blk.0.attn_q.bias" in r.tensors:  # qwen2-style attention biases
         cfg = dataclasses.replace(cfg, attn_bias=True)
+    if cfg.is_moe and getattr(put, "ep_size", 1) > 1:
+        cfg = dataclasses.replace(cfg, moe_impl="ep")
     if fuse is None:
         fuse = getattr(put, "tp_size", 1) == 1
 
@@ -126,20 +128,22 @@ def load_model(
                 layer[b] = jnp.asarray(r.tensor_float(p + nm))
         if cfg.is_moe:
             layer["gate_inp"] = rp(p + "ffn_gate_inp.weight")
-            layer["experts"] = [
-                {
-                    "w_gate": _put(g, put, f"{p}expert{e}.gate"),
-                    "w_up": _put(u, put, f"{p}expert{e}.up"),
-                    "w_down": _put(d, put, f"{p}expert{e}.down"),
+            # experts stored STACKED [E, ...]: shardable over the 'expert'
+            # mesh axis (EP) and sliceable per-expert on a single chip
+            stk: dict[str, QTensor] = {}
+            for wname, tname in (
+                ("w_gate", "ffn_gate_exps.weight"),
+                ("w_up", "ffn_up_exps.weight"),
+                ("w_down", "ffn_down_exps.weight"),
+            ):
+                qts = _expert_split(r, p + tname, scale_dtype)
+                arrays = {
+                    k: np.stack([np.asarray(q.arrays[k]) for q in qts])
+                    for k in qts[0].arrays
                 }
-                for e, (g, u, d) in enumerate(
-                    zip(
-                        _expert_split(r, p + "ffn_gate_exps.weight", scale_dtype),
-                        _expert_split(r, p + "ffn_up_exps.weight", scale_dtype),
-                        _expert_split(r, p + "ffn_down_exps.weight", scale_dtype),
-                    )
-                )
-            ]
+                qt = QTensor(qts[0].kind, "kmajor", (len(qts),) + qts[0].shape, arrays)
+                stk[wname] = _put(qt, put, p + tname)
+            layer["experts"] = stk
         else:
             wg = _repack_named(r, p + "ffn_gate.weight", "kmajor", scale_dtype)
             wu = _repack_named(r, p + "ffn_up.weight", "kmajor", scale_dtype)
