@@ -50,7 +50,7 @@ def main():
     ap.add_argument("--pp", type=int, default=512, help="prefill tokens")
     ap.add_argument("--tg", type=int, default=128, help="decode tokens")
     ap.add_argument("--batch", type=int, default=1)
-    ap.add_argument("--impl", default="auto", choices=["auto", "xla", "pallas"])
+    ap.add_argument("--impl", default="auto", choices=["auto", "xla", "pallas", "int8"])
     ap.add_argument("--reps", type=int, default=3)
     args = ap.parse_args()
 

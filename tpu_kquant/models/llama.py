@@ -64,7 +64,7 @@ def llama_layer(
     cache = cache.append(layer_idx, k, v, positions)
     k_all, v_all, kv_scales = cache.layer_view(layer_idx)
     attn = attention_decode(q, k_all, v_all, positions, kv_scales,
-                            impl="auto" if impl == "auto" else "xla")
+                            impl="xla" if impl == "xla" else "auto")
     x = x + qmatmul(attn.reshape(B, T, H * D), layer["wo"], impl)
 
     h = rms_norm(x, _norm_w(layer["ffn_norm"]), cfg.norm_eps)

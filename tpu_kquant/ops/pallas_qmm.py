@@ -32,11 +32,26 @@ from tpu_kquant.quant.qtensor import QTensor
 from tpu_kquant.quant.repack import GROUP_SIZE
 
 
+def _round_up(v: int, m: int) -> int:
+    return -(-v // m) * m
+
+
 def _pow2_divisor(v: int, cap: int) -> int:
     t = 1
     while t * 2 <= cap and v % (t * 2) == 0:
         t *= 2
     return t
+
+
+_MIN_K = {"q4": 512, "q5": 2048, "q6": 512, "q2": 512, "q3": 1024, "q8": 256}
+
+
+def pallas_supported(kind: str, K: int) -> bool:
+    """Mosaic requires scale blocks >= 8 sublanes: TK2 >= 8*g, which bounds
+    the minimum K per kind (TK2 must divide the finest fold)."""
+    return kind in _MIN_K and K >= _MIN_K[kind] and K % 256 == 0 or (
+        kind == "q8" and K >= 256 and K % 32 == 0
+    )
 
 
 def _dyn_rshift(arr: jnp.ndarray, shift) -> jnp.ndarray:
@@ -148,9 +163,11 @@ def _qmm_call(x2d, arrays_tuple, kind, shape, keys, out_dtype, interpret, tn, tb
 
     TK2 = _pow2_divisor(max_tk2, _TK_DEFAULT)
     TK2 = max(TK2, g)  # at least one scale group
-    TN = min(tn, N) if N % 128 == 0 else N
-    while N % TN != 0:
-        TN //= 2
+    # partial edge blocks are handled by pallas (masked); do NOT shrink TN
+    # to divide N — small tiles multiply grid steps and per-step overhead.
+    # Large (prefill) batches cap TN so acc/out/x tiles fit VMEM.
+    tn_eff = tn if B <= 32 else min(tn, 1024)
+    TN = min(tn_eff, _round_up(N, 128))
     TB = min(tb, B)
     kdepth = K // 2 if has_hi else K
     nb, ni, nk = pl.cdiv(B, TB), pl.cdiv(N, TN), kdepth // TK2

@@ -41,7 +41,26 @@ def qmatmul(
     float32 accumulation; output cast to ``out_dtype`` (default: x.dtype).
     """
     out_dtype = out_dtype or x.dtype
+    if impl in ("auto", "pallas", "int8") and qt.kind in _PALLAS_KINDS:
+        from tpu_kquant.ops.pallas_qmm import pallas_supported
+
+        if not pallas_supported(qt.kind, qt.shape[-1]):
+            impl = "xla"
     if impl == "auto":
+        impl = "pallas" if (qt.kind in _PALLAS_KINDS and _on_tpu()) else "xla"
+    if impl == "int8":
+        # int8-MXU path (Q8_K-style activation quant); q4/q6, decode-sized
+        # batches only (prefill is MXU-compute-bound: the bf16 kernel wins,
+        # and the int8 kernel keeps the whole batch resident in VMEM) —
+        # other cases fall through to the bf16-dequant kernel
+        rows = 1
+        for s in x.shape[:-1]:
+            rows *= s
+        if (qt.kind in ("q4", "q6") and qt.layout == "kmajor"
+                and len(qt.shape) == 2 and rows <= 32):
+            from tpu_kquant.ops.pallas_qmm_int8 import qmm_int8
+
+            return qmm_int8(x, qt, out_dtype=out_dtype, interpret=not _on_tpu())
         impl = "pallas" if (qt.kind in _PALLAS_KINDS and _on_tpu()) else "xla"
     if impl == "pallas" and qt.kind in _PALLAS_KINDS:
         from tpu_kquant.ops.pallas_qmm import qmm_pallas

@@ -20,7 +20,7 @@ def main(argv=None):
     ap.add_argument("--top-k", type=int, default=40)
     ap.add_argument("--top-p", type=float, default=0.95)
     ap.add_argument("--seed", type=int, default=0)
-    ap.add_argument("--impl", default="auto", choices=["auto", "xla", "pallas"])
+    ap.add_argument("--impl", default="auto", choices=["auto", "xla", "pallas", "int8"])
     ap.add_argument("--kv-int8", action="store_true", help="INT8 KV cache")
     ap.add_argument("--max-seq", type=int, default=None)
     args = ap.parse_args(argv)
