@@ -245,7 +245,7 @@ def _qmm_call(x2d, arrays_tuple, kind, shape, keys, out_dtype, interpret, tn, tb
 
 import os
 
-_TN_DEFAULT = int(os.environ.get("TKQ_TN", "2048"))
+_TN_DEFAULT = int(os.environ.get("TKQ_TN", "3072"))
 _TK_DEFAULT = int(os.environ.get("TKQ_TK", "256"))
 
 

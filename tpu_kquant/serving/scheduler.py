@@ -61,6 +61,19 @@ class ContinuousBatcher:
         self.finished: list[Request] = []
         self._rid = itertools.count()
         self._key = jax.random.PRNGKey(seed)
+        # observability (reference analog: llama-bench t/s tables + timers)
+        self.stats = {
+            "steps": 0, "prefills": 0, "tokens_out": 0, "tokens_in": 0,
+            "wall_s": 0.0, "batch_occupancy_sum": 0,
+        }
+
+    def report(self) -> dict:
+        s = dict(self.stats)
+        s["decode_tok_s"] = s["tokens_out"] / s["wall_s"] if s["wall_s"] else 0.0
+        s["avg_batch_occupancy"] = (
+            s["batch_occupancy_sum"] / s["steps"] if s["steps"] else 0.0
+        )
+        return s
 
     # -- public API ------------------------------------------------------------
     def submit(self, req: Request) -> int:
@@ -84,6 +97,9 @@ class ContinuousBatcher:
 
     # -- one scheduler tick ----------------------------------------------------
     def step(self, on_token=None) -> None:
+        import time as _time
+
+        t_start = _time.time()
         # 1. admit new requests into free slots
         for b, slot in enumerate(self.slots):
             if slot.req is None and self.queue:
@@ -91,6 +107,8 @@ class ContinuousBatcher:
                 logits, self.cache = self.engine.prefill_slot(
                     req.prompt, self.cache, b
                 )
+                self.stats["prefills"] += 1
+                self.stats["tokens_in"] += len(req.prompt)
                 tok = int(np.asarray(self._sample(logits[None, :], req)[0]))
                 slot.req = req
                 slot.pos = len(req.prompt)
@@ -140,6 +158,11 @@ class ContinuousBatcher:
             if req.done or slot.pos + 1 >= self.engine.max_seq:
                 req.done = True
                 self._retire(b)
+        self.stats["steps"] += 1
+        self.stats["batch_occupancy_sum"] += sum(
+            s.req is not None for s in self.slots
+        )
+        self.stats["wall_s"] += _time.time() - t_start
 
     # -- helpers ---------------------------------------------------------------
     def _sample(self, logits, req: Request):
@@ -149,6 +172,7 @@ class ContinuousBatcher:
         return sample(logits, sk, req.temperature, req.top_k, req.top_p)
 
     def _emit(self, req: Request, tok: int, on_token):
+        self.stats["tokens_out"] += 1
         req.output.append(tok)
         if on_token:
             on_token(req, tok)
