@@ -51,10 +51,18 @@ def main():
     ap.add_argument("--tg", type=int, default=128, help="decode tokens")
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--impl", default="auto", choices=["auto", "xla", "pallas", "int8"])
-    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--reps", type=int, default=2)
     args = ap.parse_args()
 
     import jax
+
+    # persistent compile cache: first run pays ~10 min of XLA/Mosaic AOT
+    # compiles (512-token prefill over 22 layers); reruns skip it
+    cc_dir = REPO / ".cache" / "jax_cc"
+    cc_dir.mkdir(parents=True, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", str(cc_dir))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     import jax.numpy as jnp
     import numpy as np
 
