@@ -47,6 +47,9 @@ def main():
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default=None, help="path to a GGUF model (default: TinyLlama-1.1B fixture)")
+    ap.add_argument("--preset", default="tinyllama-1.1b",
+                    choices=["tinyllama-1.1b", "llama3-8b"],
+                    help="fixture model to synthesize when --model is not given")
     ap.add_argument("--pp", type=int, default=512, help="prefill tokens")
     ap.add_argument("--tg", type=int, default=128, help="decode tokens")
     ap.add_argument("--batch", type=int, default=1)
@@ -68,10 +71,14 @@ def main():
 
     log(f"devices: {jax.devices()}")
 
-    from tpu_kquant.models.fixtures import tinyllama_1b_config
+    from tpu_kquant.models.fixtures import llama3_8b_config, tinyllama_1b_config
     from tpu_kquant.runtime import InferenceEngine, load_model
 
-    model_path = args.model or get_fixture("tinyllama-1.1b-q4_k_m", tinyllama_1b_config())
+    preset_cfg = {
+        "tinyllama-1.1b": ("tinyllama-1.1b-q4_k_m", tinyllama_1b_config),
+        "llama3-8b": ("llama3-8b-q4_k_m", llama3_8b_config),
+    }[args.preset]
+    model_path = args.model or get_fixture(preset_cfg[0], preset_cfg[1]())
     t0 = time.time()
     cfg, params, reader = load_model(model_path)
     log(f"model loaded+repacked in {time.time() - t0:.0f}s  arch={cfg.arch} "
@@ -139,8 +146,9 @@ def main():
             f"{tg:.0f} = {rep['fraction_of_roofline']*100:.0f}% of v5e roofline")
     except Exception as e:  # pragma: no cover
         log("roofline report failed:", e)
+    name = args.preset if args.model is None else os.path.basename(args.model)
     print(json.dumps({
-        "metric": "tg128 decode tok/s/chip, TinyLlama-1.1B Q4_K_M single-stream",
+        "metric": f"tg128 decode tok/s/chip, {name} Q4_K_M single-stream",
         "value": round(tg, 2),
         "unit": "tok/s",
         "vs_baseline": round(tg / BASELINE_TG128, 2),

@@ -57,6 +57,26 @@ def llama3_8b_config() -> ModelConfig:
     )
 
 
+def llama3_70b_config() -> ModelConfig:
+    """BASELINE config #5 (tensor+expert sharded, N>=4 hosts). ~35 GB at
+    Q4_K_M: requires a sharded mesh; single-chip runs use tiny_config."""
+    return ModelConfig(
+        arch="llama", n_layers=80, dim=8192, n_heads=64, n_kv_heads=8,
+        head_dim=128, ffn_dim=28672, vocab_size=128256, max_seq_len=8192,
+        rope=RopeParams(head_dim=128, n_rot=128, freq_base=500000.0),
+    )
+
+
+def mixtral_8x7b_config() -> ModelConfig:
+    """BASELINE config #4 (MoE expert-sharded across hosts)."""
+    return ModelConfig(
+        arch="llama", n_layers=32, dim=4096, n_heads=32, n_kv_heads=8,
+        head_dim=128, ffn_dim=14336, vocab_size=32000, max_seq_len=8192,
+        rope=RopeParams(head_dim=128, n_rot=128, freq_base=1000000.0),
+        n_experts=8, n_experts_used=2,
+    )
+
+
 def _qtype_for(name: str, shape, quant: str) -> GGMLType:
     """llama.cpp-style Q4_K_M type recipe (or uniform f16/f32)."""
     if name.endswith("_norm.weight"):
