@@ -15,14 +15,15 @@ def rms_norm(x, w, eps):
 
 
 def rope(x, positions, base):
-    # x: [T, H, D]; rotate pairs (i, i + D/2)
+    # x: [T, H, D]; ggml NORM mode: rotate adjacent pairs (2i, 2i+1)
     T, H, D = x.shape
     half = D // 2
     inv = base ** (-2.0 * np.arange(half) / D)
     theta = positions[:, None] * inv[None, :]  # [T, half]
     cos, sin = np.cos(theta)[:, None, :], np.sin(theta)[:, None, :]
-    x1, x2 = x[..., :half], x[..., half:]
-    return np.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
+    x1, x2 = x[..., 0::2], x[..., 1::2]
+    out = np.stack([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
+    return out.reshape(x.shape)
 
 
 def softmax(x, axis=-1):

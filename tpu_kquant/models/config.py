@@ -54,6 +54,10 @@ class ModelConfig:
         factor = float(g("rope.scaling.factor", 1.0) or 1.0)
         freq_scale = 1.0 / factor if factor not in (0.0, 1.0) else 1.0
         ext_factor = 1.0 if scaling_type == "yarn" else 0.0
+        # ggml rope type per architecture: llama/mistral exports permute q/k
+        # for adjacent-pair ('norm') rotation; qwen2/phi3 use split-half
+        # ('neox') like HF
+        mode = "neox" if arch in ("qwen2", "phi3", "stablelm", "gptneox") else "norm"
         rope = RopeParams(
             head_dim=head_dim,
             n_rot=n_rot,
@@ -61,6 +65,7 @@ class ModelConfig:
             freq_scale=freq_scale,
             ext_factor=ext_factor,
             n_ctx_orig=int(g("rope.scaling.original_context_length", g("context_length", 0))),
+            mode=mode,
         )
         vocab = md.get(f"{arch}.vocab_size")
         if vocab is None:

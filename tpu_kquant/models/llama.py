@@ -58,8 +58,8 @@ def llama_layer(
         k = k + layer["bk"].reshape(Hkv, D)
         v = v + layer["bv"].reshape(Hkv, D)
 
-    q = apply_rope(q, cos[:, :, None, :], sin[:, :, None, :])
-    k = apply_rope(k, cos[:, :, None, :], sin[:, :, None, :])
+    q = apply_rope(q, cos[:, :, None, :], sin[:, :, None, :], cfg.rope.mode)
+    k = apply_rope(k, cos[:, :, None, :], sin[:, :, None, :], cfg.rope.mode)
 
     cache = cache.append(layer_idx, k, v, positions)
     k_all, v_all, kv_scales = cache.layer_view(layer_idx)

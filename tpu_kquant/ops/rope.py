@@ -26,6 +26,11 @@ class RopeParams:
     beta_fast: float = 32.0
     beta_slow: float = 1.0
     n_ctx_orig: int = 0  # original training context (YaRN)
+    # pairing convention of the rotation (ggml rope types):
+    #   'norm' — adjacent pairs (2i, 2i+1); llama/mistral GGUF exports store
+    #            q/k in Meta layout for this mode
+    #   'neox' — split-half pairs (i, i + D/2); qwen2/phi3/HF-native layout
+    mode: str = "norm"
 
 
 def _yarn_corr_dim(n_rot: int, n_ctx_orig: int, beta: float, base: float) -> float:
@@ -55,21 +60,31 @@ def rope_cos_sin(positions: jnp.ndarray, p: RopeParams) -> tuple[jnp.ndarray, jn
     return jnp.cos(theta) * mscale, jnp.sin(theta) * mscale
 
 
-def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarray:
-    """Rotate pairs (x[2i], x[2i+1]) NeoX-interleaved-style over the last dim.
+def apply_rope(
+    x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray, mode: str = "norm"
+) -> jnp.ndarray:
+    """Rotary rotation over the last dim.
 
-    x: [..., H, D]; cos/sin: broadcastable to [..., 1, D/2] over the leading
-    axes (callers pass [B, T, 1, D/2] against [B, T, H, D]).
+    x: [..., H, D]; cos/sin broadcastable to [..., 1, D/2].
 
-    ggml's NeoX/llama mode rotates element pairs (i, i + D/2); we match that
-    convention (it is also what HF llama does with rotate_half).
+    mode='neox': pairs (i, i + D/2) — HF rotate_half / ggml NEOX.
+    mode='norm': adjacent pairs (2i, 2i+1) — ggml NORM; real llama/mistral
+    GGUF files store q/k weights permuted for exactly this pairing
+    (llama.cpp's convert-time `permute`), so loading them requires it.
     """
     d2 = x.shape[-1] // 2
     rot = x[..., : 2 * d2].astype(jnp.float32)
-    x1, x2 = rot[..., :d2], rot[..., d2:]
-    y1 = x1 * cos - x2 * sin
-    y2 = x2 * cos + x1 * sin
-    out = jnp.concatenate([y1, y2], axis=-1)
+    if mode == "neox":
+        x1, x2 = rot[..., :d2], rot[..., d2:]
+        y1 = x1 * cos - x2 * sin
+        y2 = x2 * cos + x1 * sin
+        out = jnp.concatenate([y1, y2], axis=-1)
+    else:
+        x1 = rot[..., 0::2]
+        x2 = rot[..., 1::2]
+        y1 = x1 * cos - x2 * sin
+        y2 = x2 * cos + x1 * sin
+        out = jnp.stack([y1, y2], axis=-1).reshape(rot.shape)
     if x.shape[-1] > 2 * d2:
         out = jnp.concatenate([out, x[..., 2 * d2 :].astype(jnp.float32)], axis=-1)
     return out.astype(x.dtype)

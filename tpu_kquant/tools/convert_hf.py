@@ -1,0 +1,158 @@
+"""HF checkpoint -> GGUF converter (convert_hf_to_gguf equivalent).
+
+Produces GGUF files interoperable with the wider ecosystem: q/k projection
+rows are permuted from HF's split-half rotary layout into Meta layout
+(llama.cpp's convert-time ``permute``) so the file decodes correctly under
+ggml-NORM rope — the same convention our engine applies for llama-family
+arches (ops/rope.py).
+
+  python -m tpu_kquant.tools.convert_hf --hf /path/to/hf_dir --out m.gguf \
+      --type f16|q4_k_m|q8_0|...
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+
+from tpu_kquant.gguf import GGMLType, GGUFWriter
+
+_NAME_MAP = [
+    ("model.embed_tokens.weight", "token_embd.weight"),
+    ("model.norm.weight", "output_norm.weight"),
+    ("lm_head.weight", "output.weight"),
+]
+_LAYER_MAP = [
+    ("input_layernorm.weight", "attn_norm.weight"),
+    ("self_attn.q_proj.weight", "attn_q.weight"),
+    ("self_attn.k_proj.weight", "attn_k.weight"),
+    ("self_attn.v_proj.weight", "attn_v.weight"),
+    ("self_attn.o_proj.weight", "attn_output.weight"),
+    ("post_attention_layernorm.weight", "ffn_norm.weight"),
+    ("mlp.gate_proj.weight", "ffn_gate.weight"),
+    ("mlp.up_proj.weight", "ffn_up.weight"),
+    ("mlp.down_proj.weight", "ffn_down.weight"),
+    ("self_attn.q_proj.bias", "attn_q.bias"),
+    ("self_attn.k_proj.bias", "attn_k.bias"),
+    ("self_attn.v_proj.bias", "attn_v.bias"),
+]
+
+
+def permute_qk(w: np.ndarray, n_head: int) -> np.ndarray:
+    """HF split-half rotary layout -> Meta adjacent-pair layout
+    (llama.cpp convert_hf_to_gguf permute)."""
+    shape = w.shape
+    return (
+        w.reshape(n_head, 2, shape[0] // n_head // 2, *shape[1:])
+        .swapaxes(1, 2)
+        .reshape(shape)
+    )
+
+
+def _target_type(name: str, shape, recipe: str) -> GGMLType:
+    from tpu_kquant.tools.quantize import _target_type as tt
+
+    return tt(name, shape, recipe)
+
+
+def convert(hf_dir: str, out_path: str, recipe: str = "f16",
+            arch: str = "llama", verbose: bool = True) -> str:
+    hf_dir = str(hf_dir)
+    cfg = json.loads((Path(hf_dir) / "config.json").read_text())
+    state = _load_state_dict(hf_dir)
+
+    n_layers = cfg["num_hidden_layers"]
+    n_head = cfg["num_attention_heads"]
+    n_kv = cfg.get("num_key_value_heads", n_head)
+    dim = cfg["hidden_size"]
+    head_dim = cfg.get("head_dim", dim // n_head)
+
+    w = GGUFWriter(out_path)
+    w.add("general.architecture", arch)
+    w.add("general.name", Path(hf_dir).name)
+    w.add(f"{arch}.block_count", n_layers)
+    w.add(f"{arch}.context_length", cfg.get("max_position_embeddings", 4096))
+    w.add(f"{arch}.embedding_length", dim)
+    w.add(f"{arch}.feed_forward_length", cfg["intermediate_size"])
+    w.add(f"{arch}.attention.head_count", n_head)
+    w.add(f"{arch}.attention.head_count_kv", n_kv)
+    w.add(f"{arch}.attention.key_length", head_dim)
+    w.add(f"{arch}.attention.layer_norm_rms_epsilon", float(cfg.get("rms_norm_eps", 1e-5)))
+    w.add(f"{arch}.rope.freq_base", float(cfg.get("rope_theta", 10000.0)))
+    w.add(f"{arch}.rope.dimension_count", head_dim)
+    w.add(f"{arch}.vocab_size", cfg["vocab_size"])
+
+    def put(gguf_name: str, arr: np.ndarray):
+        t = _target_type(gguf_name, arr.shape, recipe)
+        w.add_tensor(gguf_name, arr.astype(np.float32), t)
+        if verbose:
+            print(f"  {gguf_name}: {tuple(arr.shape)} -> {t.name}", file=sys.stderr)
+
+    consumed = set()
+    for hf_name, gguf_name in _NAME_MAP:
+        if hf_name in state:
+            put(gguf_name, state[hf_name])
+            consumed.add(hf_name)
+    if "lm_head.weight" not in state and cfg.get("tie_word_embeddings", False):
+        pass  # loader falls back to tied embeddings
+
+    for i in range(n_layers):
+        for hf_suffix, gguf_suffix in _LAYER_MAP:
+            hf_name = f"model.layers.{i}.{hf_suffix}"
+            if hf_name not in state:
+                continue
+            arr = state[hf_name]
+            if arch in ("llama", "mistral") and hf_suffix.endswith(("q_proj.weight", "q_proj.bias")):
+                arr = permute_qk(arr, n_head)
+            elif arch in ("llama", "mistral") and hf_suffix.endswith(("k_proj.weight", "k_proj.bias")):
+                arr = permute_qk(arr, n_kv)
+            put(f"blk.{i}.{gguf_suffix}", arr)
+            consumed.add(hf_name)
+
+    leftovers = [k for k in state if k not in consumed and "rotary_emb" not in k]
+    if leftovers and verbose:
+        print(f"  WARNING: unconverted tensors: {leftovers[:8]}", file=sys.stderr)
+    w.write()
+    return out_path
+
+
+def _load_state_dict(hf_dir: str) -> dict[str, np.ndarray]:
+    """Load weights from safetensors or torch .bin shards without
+    instantiating the model."""
+    p = Path(hf_dir)
+    state: dict[str, np.ndarray] = {}
+    st_files = sorted(p.glob("*.safetensors"))
+    if st_files:
+        from safetensors import safe_open
+
+        for f in st_files:
+            with safe_open(str(f), framework="np") as sf:
+                for k in sf.keys():
+                    state[k] = np.asarray(sf.get_tensor(k), dtype=np.float32)
+        return state
+    import torch
+
+    for f in sorted(p.glob("*.bin")) or [p / "pytorch_model.bin"]:
+        sd = torch.load(str(f), map_location="cpu", weights_only=True)
+        for k, v in sd.items():
+            state[k] = v.to(torch.float32).numpy()
+    return state
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description="convert a HF llama-family checkpoint to GGUF")
+    ap.add_argument("--hf", required=True, help="HF checkpoint directory")
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--type", default="f16")
+    ap.add_argument("--arch", default="llama")
+    args = ap.parse_args(argv)
+    convert(args.hf, args.out, args.type, args.arch)
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()
