@@ -73,3 +73,45 @@ def test_qwen2_attention_bias(tmp_path):
     l1, _, _ = eng.prefill([[3, 100, 7]], eng.new_cache(1))
     l2, _, _ = eng_nb.prefill([[3, 100, 7]], eng_nb.new_cache(1))
     assert not np.allclose(np.asarray(l1), np.asarray(l2), atol=1e-4)
+
+
+def test_sliding_window_attention(tmp_path):
+    """SWA must mask tokens beyond the window (Mistral/Gemma2-style)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tpu_kquant.ops.attention import attention_decode
+
+    rng = np.random.default_rng(0)
+    B, S, H, Hkv, D = 1, 64, 4, 2, 16
+    q = jnp.asarray(rng.standard_normal((B, 1, H, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, S, Hkv, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, S, Hkv, D)), jnp.float32)
+    pos = jnp.asarray([[40]], jnp.int32)
+
+    full = attention_decode(q, k, v, pos, impl="xla")
+    win = attention_decode(q, k, v, pos, sliding_window=8, impl="xla")
+    assert not np.allclose(np.asarray(full), np.asarray(win), atol=1e-4)
+
+    # corrupting K/V outside the window must not change windowed output
+    k2 = k.at[:, :30].set(99.0)
+    v2 = v.at[:, :30].set(99.0)
+    win2 = attention_decode(q, k2, v2, pos, sliding_window=8, impl="xla")
+    np.testing.assert_allclose(np.asarray(win), np.asarray(win2), atol=1e-6)
+
+
+def test_sliding_window_from_metadata(tmp_path):
+    from tpu_kquant.models.fixtures import tiny_config, write_fixture_gguf
+    from tpu_kquant.runtime import load_model
+
+    path = tmp_path / "swa.gguf"
+    cfg = tiny_config(n_layers=2, dim=64, n_heads=4, n_kv_heads=2, ffn_dim=128,
+                      vocab_size=512, sliding_window=16)
+    write_fixture_gguf(path, cfg, seed=8, scale=0.08)
+    cfg2, params, _ = load_model(str(path))
+    assert cfg2.sliding_window == 16
+    from tpu_kquant.runtime import InferenceEngine
+
+    eng = InferenceEngine(cfg2, params, max_batch=1, max_seq=64, impl="xla")
+    out = eng.generate([[3, 100, 7]], max_new_tokens=4)
+    assert len(out[0]) == 4

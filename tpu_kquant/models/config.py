@@ -32,6 +32,7 @@ class ModelConfig:
     # misc arch quirks
     tie_embeddings: bool = False
     attn_bias: bool = False
+    sliding_window: int = 0  # 0 = full attention
 
     @property
     def is_moe(self) -> bool:
@@ -84,6 +85,7 @@ class ModelConfig:
             rope=rope,
             n_experts=int(g("expert_count", 0) or 0),
             n_experts_used=int(g("expert_used_count", 0) or 0),
+            sliding_window=int(g("attention.sliding_window", 0) or 0),
         )
 
     def to_gguf_metadata(self) -> dict[str, Any]:
@@ -106,4 +108,6 @@ class ModelConfig:
         if self.n_experts:
             md[f"{a}.expert_count"] = self.n_experts
             md[f"{a}.expert_used_count"] = self.n_experts_used
+        if self.sliding_window:
+            md[f"{a}.attention.sliding_window"] = self.sliding_window
         return md

@@ -28,6 +28,7 @@ def tiny_config(
     max_seq_len: int = 256,
     n_experts: int = 0,
     n_experts_used: int = 0,
+    sliding_window: int = 0,
 ) -> ModelConfig:
     hd = dim // n_heads
     return ModelConfig(
@@ -36,6 +37,7 @@ def tiny_config(
         vocab_size=vocab_size, max_seq_len=max_seq_len,
         rope=RopeParams(head_dim=hd, n_rot=hd),
         n_experts=n_experts, n_experts_used=n_experts_used,
+        sliding_window=sliding_window,
     )
 
 

@@ -64,6 +64,7 @@ def llama_layer(
     cache = cache.append(layer_idx, k, v, positions)
     k_all, v_all, kv_scales = cache.layer_view(layer_idx)
     attn = attention_decode(q, k_all, v_all, positions, kv_scales,
+                            sliding_window=cfg.sliding_window,
                             impl="xla" if impl == "xla" else "auto")
     x = x + qmatmul(attn.reshape(B, T, H * D), layer["wo"], impl)
 
