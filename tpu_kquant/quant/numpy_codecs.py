@@ -20,13 +20,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from tpu_kquant.gguf.constants import (
-    GGMLType,
-    K_SCALE_SIZE,
-    QK_K,
-    block_size,
-    type_size,
-)
+from tpu_kquant.gguf.constants import GGMLType, block_size, type_size
 
 # ---------------------------------------------------------------------------
 # helpers

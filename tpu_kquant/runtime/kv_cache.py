@@ -13,7 +13,6 @@ time; attention dequantizes on the fly.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 
 import jax
 import jax.numpy as jnp
