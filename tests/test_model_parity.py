@@ -106,3 +106,21 @@ def test_kv_cache_int8(tiny_model):
     out8 = eng8.generate(toks, max_new_tokens=6)
     # greedy paths may diverge after a while; require the first tokens agree
     assert out16[0][:2] == out8[0][:2]
+
+
+def test_fused_decode_loop_matches_generate(tiny_model):
+    """decode_greedy_jit (on-device lax.scan loop, the bench path) must
+    produce exactly the tokens of the step-by-step greedy generate loop."""
+    import jax.numpy as jnp
+
+    cfg, params, _ = tiny_model
+    eng = InferenceEngine(cfg, params, max_batch=1, max_seq=64, impl="xla")
+    prompt = [3, 100, 7, 256]
+    want = eng.generate([prompt], max_new_tokens=6)[0]
+
+    cache = eng.new_cache(1)
+    logits, cache, lens = eng.prefill([prompt], cache)
+    first = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    toks, _ = eng.decode_greedy_jit(first, jnp.asarray(lens), cache, 5)
+    got = [int(first[0])] + np.asarray(toks[0]).tolist()
+    assert got == want
