@@ -114,7 +114,11 @@ class InferenceEngine:
         lengths [B])."""
         B = len(token_rows)
         lens = np.array([len(t) for t in token_rows], np.int32)
-        T = _bucket(int(lens.max()))
+        if int(lens.max()) > self.max_seq:
+            raise ValueError(
+                f"prompt length {int(lens.max())} exceeds max_seq {self.max_seq}"
+            )
+        T = min(_bucket(int(lens.max())), self.max_seq)
         toks = np.zeros((B, T), np.int32)
         for i, row in enumerate(token_rows):
             toks[i, : len(row)] = row
@@ -135,7 +139,9 @@ class InferenceEngine:
     def prefill_slot(self, tokens: list[int], cache: KVCache, slot: int):
         """Prefill one request into batch row ``slot``. Returns (last_logits
         [V], cache)."""
-        T = _bucket(len(tokens))
+        if len(tokens) > self.max_seq:
+            raise ValueError(f"prompt length {len(tokens)} exceeds max_seq {self.max_seq}")
+        T = min(_bucket(len(tokens)), self.max_seq)
         toks = np.zeros((1, T), np.int32)
         toks[0, : len(tokens)] = tokens
         positions = np.arange(T, dtype=np.int32)[None, :]
@@ -213,6 +219,8 @@ class InferenceEngine:
         out: list[list[int]] = [[] for _ in range(B)]
         done = np.zeros(B, bool)
         tok = None
+        # never decode past the KV capacity (slot p must exist to be written)
+        max_new_tokens = min(max_new_tokens, self.max_seq - int(lens.max()))
         for _ in range(max_new_tokens):
             if temperature <= 0.0:
                 tok = greedy(logits)
