@@ -37,10 +37,13 @@ def llama_layer(
     positions: jnp.ndarray,  # [B, T]
     cos: jnp.ndarray,
     sin: jnp.ndarray,
-    cache: KVCache,
-    layer_idx: int,
+    lkv,  # LayerKV: this layer's cache slice (k, v, k_scale, v_scale)
     impl: str = "auto",
-) -> tuple[jnp.ndarray, KVCache]:
+):
+    """One transformer block. Returns (x, updated LayerKV)."""
+    # local import: runtime.__init__ imports the engine, which imports us
+    from tpu_kquant.runtime.kv_cache import append_layer, layer_scales
+
     B, T, _ = x.shape
     H, Hkv, D = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
 
@@ -61,9 +64,8 @@ def llama_layer(
     q = apply_rope(q, cos[:, :, None, :], sin[:, :, None, :], cfg.rope.mode)
     k = apply_rope(k, cos[:, :, None, :], sin[:, :, None, :], cfg.rope.mode)
 
-    cache = cache.append(layer_idx, k, v, positions)
-    k_all, v_all, kv_scales = cache.layer_view(layer_idx)
-    attn = attention_decode(q, k_all, v_all, positions, kv_scales,
+    lkv = append_layer(lkv, k, v, positions)
+    attn = attention_decode(q, lkv[0], lkv[1], positions, layer_scales(lkv),
                             sliding_window=cfg.sliding_window,
                             impl="xla" if impl == "xla" else "auto")
     x = x + qmatmul(attn.reshape(B, T, H * D), layer["wo"], impl)
@@ -81,7 +83,21 @@ def llama_layer(
         gate = qmatmul(h, layer["w_gate"], impl)
         up = qmatmul(h, layer["w_up"], impl)
         x = x + qmatmul(swiglu(gate, up), layer["w_down"], impl)
-    return x, cache
+    return x, lkv
+
+
+def stack_layer_params(params: dict[str, Any]) -> dict[str, Any]:
+    """Stack the per-layer pytrees along a new leading axis (-> 'layers_stacked')
+    so the forward can lax.scan over layers: ONE traced/compiled block instead
+    of n_layers copies — the 70B-class compile-time fix. Layers must be
+    homogeneous (same keys/shapes), which holds for every GGUF arch we load."""
+    import jax
+
+    layers = params["layers"]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+    out = {k: v for k, v in params.items() if k != "layers"}
+    out["layers_stacked"] = stacked
+    return out
 
 
 def llama_forward(
@@ -99,8 +115,25 @@ def llama_forward(
     cos, sin = rope_cos_sin(positions, cfg.rope)
     cos, sin = cos.astype(jnp.float32), sin.astype(jnp.float32)
 
-    for i, layer in enumerate(params["layers"]):
-        x, cache = llama_layer(layer, cfg, x, positions, cos, sin, cache, i, impl)
+    if "layers_stacked" in params:  # lax.scan over stacked layers
+        import jax
+
+        def body(x, xs):
+            layer, lkv = xs
+            x, lkv = llama_layer(layer, cfg, x, positions, cos, sin, lkv, impl)
+            return x, lkv
+
+        from tpu_kquant.runtime.kv_cache import KVCache as _KVCache
+
+        xs = (params["layers_stacked"],
+              (cache.k, cache.v, cache.k_scale, cache.v_scale))
+        x, (k, v, ks, vs) = jax.lax.scan(body, x, xs)
+        cache = _KVCache(k, v, ks, vs)
+    else:
+        for i, layer in enumerate(params["layers"]):
+            x, lkv = llama_layer(layer, cfg, x, positions, cos, sin,
+                                 cache.layer(i), impl)
+            cache = cache.set_layer(i, lkv)
 
     x = rms_norm(x, _norm_w(params["output_norm"]), cfg.norm_eps)
     if logits_last_only:

@@ -45,7 +45,15 @@ class InferenceEngine:
         max_seq: int | None = None,
         kv_quantized: bool = False,
         impl: str = "auto",
+        scan_layers: bool = False,
     ):
+        """scan_layers: stack per-layer params and lax.scan over them — one
+        compiled block instead of n_layers inlined copies (compile time and
+        HLO size stop growing with depth; the 70B-class configuration)."""
+        if scan_layers:
+            from tpu_kquant.models.llama import stack_layer_params
+
+            params = stack_layer_params(params)
         self.cfg = cfg
         self.params = params
         self.max_batch = max_batch

@@ -70,38 +70,24 @@ class KVCache:
         v_new: jnp.ndarray,
         positions: jnp.ndarray,  # [B, T] absolute, contiguous per row
     ) -> "KVCache":
-        start = positions[:, 0]
+        lkv = append_layer(self.layer(layer_idx), k_new, v_new, positions)
+        return self.set_layer(layer_idx, lkv)
 
-        def upd(cache_l, val):  # vmap over batch
-            return jax.vmap(
-                lambda c, u, s: jax.lax.dynamic_update_slice(c, u, (s, 0, 0))
-            )(cache_l, val, start)
+    def layer(self, layer_idx) -> "LayerKV":
+        """Per-layer slice (k [B,S,Hkv,D], v, k_scale|None, v_scale|None).
+        ``layer_idx`` may be traced."""
+        def sl(x):
+            return None if x is None else x[layer_idx]
 
-        if self.quantized:
-            def quant(x):
-                scale = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1) / 127.0
-                safe = jnp.where(scale > 0, scale, 1.0)
-                q = jnp.round(x.astype(jnp.float32) / safe[..., None])
-                return q.astype(jnp.int8), scale.astype(jnp.float32)
+        return (sl(self.k), sl(self.v), sl(self.k_scale), sl(self.v_scale))
 
-            kq, ks = quant(k_new)
-            vq, vs = quant(v_new)
-            def upd_s(cache_l, val):
-                return jax.vmap(
-                    lambda c, u, s: jax.lax.dynamic_update_slice(c, u, (s, 0))
-                )(cache_l, val, start)
-            return KVCache(
-                k=self.k.at[layer_idx].set(upd(self.k[layer_idx], kq)),
-                v=self.v.at[layer_idx].set(upd(self.v[layer_idx], vq)),
-                k_scale=self.k_scale.at[layer_idx].set(upd_s(self.k_scale[layer_idx], ks)),
-                v_scale=self.v_scale.at[layer_idx].set(upd_s(self.v_scale[layer_idx], vs)),
-            )
-        dt = self.k.dtype
+    def set_layer(self, layer_idx, lkv: "LayerKV") -> "KVCache":
+        k_l, v_l, ks_l, vs_l = lkv
         return KVCache(
-            k=self.k.at[layer_idx].set(upd(self.k[layer_idx], k_new.astype(dt))),
-            v=self.v.at[layer_idx].set(upd(self.v[layer_idx], v_new.astype(dt))),
-            k_scale=None,
-            v_scale=None,
+            k=self.k.at[layer_idx].set(k_l),
+            v=self.v.at[layer_idx].set(v_l),
+            k_scale=None if ks_l is None else self.k_scale.at[layer_idx].set(ks_l),
+            v_scale=None if vs_l is None else self.v_scale.at[layer_idx].set(vs_l),
         )
 
     def layer_view(self, layer_idx: int):
@@ -113,6 +99,52 @@ class KVCache:
                 (self.k_scale[layer_idx], self.v_scale[layer_idx]),
             )
         return self.k[layer_idx], self.v[layer_idx], None
+
+
+# A single layer's cache slice: (k, v, k_scale|None, v_scale|None). Plain
+# tuple so it threads through lax.scan xs/ys without a wrapper class.
+LayerKV = tuple
+
+
+def append_layer(
+    lkv: LayerKV,
+    k_new: jnp.ndarray,  # [B, T, Hkv, D]
+    v_new: jnp.ndarray,
+    positions: jnp.ndarray,  # [B, T] absolute, contiguous per row
+) -> LayerKV:
+    """ggml set_rows equivalent on one layer's slice (vmapped update-slice)."""
+    k_l, v_l, ks_l, vs_l = lkv
+    start = positions[:, 0]
+
+    def upd(cache_l, val):  # vmap over batch
+        return jax.vmap(
+            lambda c, u, s: jax.lax.dynamic_update_slice(c, u, (s, 0, 0))
+        )(cache_l, val, start)
+
+    if k_l.dtype == jnp.int8:  # quantized: per-(token, head) f32 scales
+        def quant(x):
+            scale = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1) / 127.0
+            safe = jnp.where(scale > 0, scale, 1.0)
+            q = jnp.round(x.astype(jnp.float32) / safe[..., None])
+            return q.astype(jnp.int8), scale.astype(jnp.float32)
+
+        kq, ks = quant(k_new)
+        vq, vs = quant(v_new)
+
+        def upd_s(cache_l, val):
+            return jax.vmap(
+                lambda c, u, s: jax.lax.dynamic_update_slice(c, u, (s, 0))
+            )(cache_l, val, start)
+
+        return (upd(k_l, kq), upd(v_l, vq), upd_s(ks_l, ks), upd_s(vs_l, vs))
+    dt = k_l.dtype
+    return (upd(k_l, k_new.astype(dt)), upd(v_l, v_new.astype(dt)), None, None)
+
+
+def layer_scales(lkv: LayerKV):
+    """Attention kv_scales arg for a per-layer slice."""
+    _, _, ks_l, vs_l = lkv
+    return None if ks_l is None else (ks_l, vs_l)
 
 
 def slice_batch_row(cache: KVCache, slot) -> KVCache:
