@@ -24,7 +24,7 @@ def model_path(tmp_path_factory):
 
 def test_mesh_axes():
     mesh = make_mesh(data=2, model=4)
-    assert mesh.shape == {"data": 2, "expert": 1, "model": 4}
+    assert mesh.shape == {"data": 2, "pipe": 1, "expert": 1, "model": 4}
 
 
 def test_qtensor_sharded(model_path):

@@ -7,6 +7,11 @@ jax.sharding.Mesh, with XLA inserting ICI/DCN collectives.
 """
 
 from tpu_kquant.parallel.mesh import make_mesh  # noqa: F401
+from tpu_kquant.parallel.pipeline import (  # noqa: F401
+    make_pp_forward,
+    shard_cache_pp,
+    stack_pp_params,
+)
 from tpu_kquant.parallel.sharding import (  # noqa: F401
     make_param_put,
     shard_cache,

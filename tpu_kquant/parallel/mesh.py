@@ -12,20 +12,25 @@ def make_mesh(
     data: int = 1,
     model: int = 1,
     expert: int = 1,
+    pipe: int = 1,
     devices=None,
 ) -> Mesh:
-    """Create a ('data', 'expert', 'model') mesh.
+    """Create a ('data', 'pipe', 'expert', 'model') mesh.
 
     'model' is innermost so tensor-parallel collectives ride the
     fastest-varying (ICI-adjacent) axis of the device order; 'data' is
-    outermost (DCN-friendly across hosts).
+    outermost (DCN-friendly across hosts); 'pipe' sits between them —
+    pipeline point-to-point traffic is the lightest, so it tolerates the
+    slowest links (typically DCN across hosts for 70B-class PP).
     """
     devices = devices if devices is not None else jax.devices()
-    n = data * expert * model
+    n = data * pipe * expert * model
     if n > len(devices):
-        raise ValueError(f"mesh {data}x{expert}x{model} needs {n} devices, have {len(devices)}")
-    dev = np.asarray(devices[:n]).reshape(data, expert, model)
-    return Mesh(dev, ("data", "expert", "model"))
+        raise ValueError(
+            f"mesh {data}x{pipe}x{expert}x{model} needs {n} devices, have {len(devices)}"
+        )
+    dev = np.asarray(devices[:n]).reshape(data, pipe, expert, model)
+    return Mesh(dev, ("data", "pipe", "expert", "model"))
 
 
 def single_device_mesh() -> Mesh:

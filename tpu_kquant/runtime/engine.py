@@ -46,10 +46,15 @@ class InferenceEngine:
         kv_quantized: bool = False,
         impl: str = "auto",
         scan_layers: bool = False,
+        forward_fn=None,
     ):
         """scan_layers: stack per-layer params and lax.scan over them — one
         compiled block instead of n_layers inlined copies (compile time and
-        HLO size stop growing with depth; the 70B-class configuration)."""
+        HLO size stop growing with depth; the 70B-class configuration).
+
+        forward_fn: drop-in replacement for models.llama.llama_forward (same
+        signature), e.g. parallel.pipeline.make_pp_forward(mesh) — params
+        must then already be in that forward's expected format."""
         if scan_layers:
             from tpu_kquant.models.llama import stack_layer_params
 
@@ -61,7 +66,7 @@ class InferenceEngine:
         self.kv_quantized = kv_quantized
         self.impl = impl
 
-        fwd = partial(llama_forward, impl=impl)
+        fwd = partial(forward_fn or llama_forward, impl=impl)
 
         @partial(jax.jit, donate_argnums=(3,), static_argnums=(4,))
         def _step(params, tokens, positions, cache, last_only):
