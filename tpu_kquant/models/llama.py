@@ -39,6 +39,7 @@ def llama_layer(
     sin: jnp.ndarray,
     lkv,  # LayerKV: this layer's cache slice (k, v, k_scale, v_scale)
     impl: str = "auto",
+    mesh=None,  # only used by the MoE a2a dispatch (cfg.moe_impl == 'a2a')
 ):
     """One transformer block. Returns (x, updated LayerKV)."""
     # local import: runtime.__init__ imports the engine, which imports us
@@ -74,7 +75,7 @@ def llama_layer(
     if cfg.is_moe:
         from tpu_kquant.models.moe import moe_ffn
 
-        x = x + moe_ffn(layer, cfg, h, impl)
+        x = x + moe_ffn(layer, cfg, h, impl, mesh)
     elif "w_gateup" in layer:  # fused gate+up projection
         gu = qmatmul(h, layer["w_gateup"], impl)
         F = gu.shape[-1] // 2
@@ -109,6 +110,7 @@ def llama_forward(
     impl: str = "auto",
     logits_last_only: bool = False,
     act_dtype=jnp.bfloat16,
+    mesh=None,  # for MoE a2a dispatch only
 ) -> tuple[jnp.ndarray, KVCache]:
     """Returns (logits [B, T, vocab] (or [B, 1, vocab]), updated cache)."""
     x = dequant_rows(params["tok_embd"], tokens, dtype=act_dtype)
@@ -120,7 +122,8 @@ def llama_forward(
 
         def body(x, xs):
             layer, lkv = xs
-            x, lkv = llama_layer(layer, cfg, x, positions, cos, sin, lkv, impl)
+            x, lkv = llama_layer(layer, cfg, x, positions, cos, sin, lkv, impl,
+                                 mesh)
             return x, lkv
 
         from tpu_kquant.runtime.kv_cache import KVCache as _KVCache
@@ -132,7 +135,7 @@ def llama_forward(
     else:
         for i, layer in enumerate(params["layers"]):
             x, lkv = llama_layer(layer, cfg, x, positions, cos, sin,
-                                 cache.layer(i), impl)
+                                 cache.layer(i), impl, mesh)
             cache = cache.set_layer(i, lkv)
 
     x = rms_norm(x, _norm_w(params["output_norm"]), cfg.norm_eps)

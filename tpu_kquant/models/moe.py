@@ -49,8 +49,12 @@ def _expert_view(stk: QTensor, e: int) -> QTensor:
 
 
 def moe_ffn(layer: dict[str, Any], cfg: ModelConfig, h: jnp.ndarray,
-            impl: str = "auto") -> jnp.ndarray:
+            impl: str = "auto", mesh=None) -> jnp.ndarray:
     """h: [B, T, dim] (already ffn-normed) -> [B, T, dim]."""
+    if cfg.moe_impl == "a2a" and mesh is not None:
+        from tpu_kquant.models.moe_a2a import moe_ffn_a2a
+
+        return moe_ffn_a2a(layer, cfg, h, mesh, impl)
     router_logits = qmatmul(h, layer["gate_inp"], impl, out_dtype=jnp.float32)
     gate_w = _routing_weights(router_logits, cfg.n_experts_used)  # [B, T, E]
     stk = layer["experts"]

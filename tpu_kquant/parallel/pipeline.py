@@ -87,7 +87,8 @@ def make_pp_forward(mesh: Mesh, n_micro: int = 1):
     the layer stack pipeline-parallel over mesh axis 'pipe' with ``n_micro``
     GPipe microbatches (batch must divide by n_micro; otherwise falls back
     to a single microbatch)."""
-    n_pipe = mesh.shape["pipe"]
+    pp_mesh = mesh  # the forward's own `mesh` kwarg must not shadow this
+    n_pipe = pp_mesh.shape["pipe"]
 
     def forward(
         params: dict[str, Any],
@@ -98,6 +99,9 @@ def make_pp_forward(mesh: Mesh, n_micro: int = 1):
         impl: str = "auto",
         logits_last_only: bool = False,
         act_dtype=jnp.bfloat16,
+        mesh: Mesh | None = None,  # accepted for signature parity; a2a MoE
+        # inside a PP stage would nest manual shard_maps — unsupported, the
+        # dense 'ep' path composes with PP instead
     ):
         x = dequant_rows(params["tok_embd"], tokens, dtype=act_dtype)
         cos, sin = rope_cos_sin(positions, cfg.rope)
@@ -174,7 +178,7 @@ def make_pp_forward(mesh: Mesh, n_micro: int = 1):
         pipe_spec = lambda tree: jax.tree.map(lambda _: P("pipe"), tree)
         outputs, ckv = jax.shard_map(
             stages,
-            mesh=mesh,
+            mesh=pp_mesh,
             in_specs=(pipe_spec(layers), pipe_spec(ckv), P(), P(), P(), P()),
             out_specs=(P(), pipe_spec(ckv)),
             axis_names=frozenset({"pipe"}),

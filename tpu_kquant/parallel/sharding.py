@@ -69,15 +69,20 @@ def shard_qtensor(qt: QTensor, mesh: Mesh, orientation: str) -> QTensor:
     return QTensor(qt.kind, qt.layout, qt.shape, arrays)
 
 
-def make_param_put(mesh: Mesh):
+def make_param_put(mesh: Mesh, moe_impl: str = "ep"):
     """A ``put(name, qtensor)`` for runtime.loader.load_model that applies the
-    TP rules above (embeddings and norms replicated)."""
+    TP rules above (embeddings and norms replicated).
+
+    moe_impl: expert-parallel strategy when mesh has an 'expert' axis —
+    'ep' (dense sharded einsum) or 'a2a' (ragged all_to_all dispatch,
+    models.moe_a2a; requires passing mesh= to the engine/forward)."""
 
     def put(name: str, qt: QTensor) -> QTensor:
         return shard_qtensor(qt, mesh, _orientation(name))
 
     put.tp_size = mesh.shape["model"]  # loader disables QK/gate-up fusion when >1
-    put.ep_size = mesh.shape["expert"]  # loader switches MoE to the EP einsum path
+    put.ep_size = mesh.shape["expert"]  # loader switches MoE to the EP path
+    put.moe_impl = moe_impl
     return put
 
 

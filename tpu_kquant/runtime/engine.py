@@ -47,6 +47,7 @@ class InferenceEngine:
         impl: str = "auto",
         scan_layers: bool = False,
         forward_fn=None,
+        mesh=None,
     ):
         """scan_layers: stack per-layer params and lax.scan over them — one
         compiled block instead of n_layers inlined copies (compile time and
@@ -67,6 +68,8 @@ class InferenceEngine:
         self.impl = impl
 
         fwd = partial(forward_fn or llama_forward, impl=impl)
+        if mesh is not None:  # needed only by the MoE a2a dispatch
+            fwd = partial(fwd, mesh=mesh)
 
         @partial(jax.jit, donate_argnums=(3,), static_argnums=(4,))
         def _step(params, tokens, positions, cache, last_only):

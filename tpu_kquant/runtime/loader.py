@@ -87,7 +87,7 @@ def load_model(
     if "blk.0.attn_q.bias" in r.tensors:  # qwen2-style attention biases
         cfg = dataclasses.replace(cfg, attn_bias=True)
     if cfg.is_moe and getattr(put, "ep_size", 1) > 1:
-        cfg = dataclasses.replace(cfg, moe_impl="ep")
+        cfg = dataclasses.replace(cfg, moe_impl=getattr(put, "moe_impl", "ep"))
     if fuse is None:
         fuse = getattr(put, "tp_size", 1) == 1
 
