@@ -54,6 +54,8 @@ def main():
     ap.add_argument("--tg", type=int, default=128, help="decode tokens")
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--impl", default="auto", choices=["auto", "xla", "pallas", "int8"])
+    ap.add_argument("--scale-dtype", default="bf16", choices=["bf16", "f32", "f16"],
+                    help="per-group scale/min storage (bf16 = fewer bytes/weight)")
     ap.add_argument("--reps", type=int, default=2)
     args = ap.parse_args()
 
@@ -80,7 +82,7 @@ def main():
     }[args.preset]
     model_path = args.model or get_fixture(preset_cfg[0], preset_cfg[1]())
     t0 = time.time()
-    cfg, params, reader = load_model(model_path)
+    cfg, params, reader = load_model(model_path, scale_dtype=args.scale_dtype)
     log(f"model loaded+repacked in {time.time() - t0:.0f}s  arch={cfg.arch} "
         f"L={cfg.n_layers} dim={cfg.dim} vocab={cfg.vocab_size}")
 

@@ -72,3 +72,26 @@ def test_pallas_bf16_activations():
     ref = qmatmul(x, qt, impl="xla", out_dtype=jnp.float32)
     got = qmm_pallas(x, qt, out_dtype=jnp.float32, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=3e-2, atol=0.08)
+
+
+def test_pallas_sm_packed_pairs():
+    """Packed (scale, min) pair side array: kernel must match the XLA
+    dequant of the SAME sm QTensor exactly (both decode bf16 pairs)."""
+    from tpu_kquant.quant.repack import pack_scale_pairs
+    from tpu_kquant.quant.qtensor import QTensor
+
+    for t, k in ((GGMLType.Q4_K, 2048), (GGMLType.Q6_K, 1024)):
+        qt = _mk(t, 128, k)
+        qp = pack_scale_pairs(
+            QTensor(qt.kind, qt.layout, qt.shape,
+                    {kk: np.asarray(v) for kk, v in qt.arrays.items()})
+        )
+        qp = QTensor(qp.kind, qp.layout, qp.shape,
+                     {kk: jnp.asarray(v) for kk, v in qp.arrays.items()})
+        x = jnp.asarray(RNG.standard_normal((4, k)), jnp.float32)
+        ref = qmatmul(x, qp, impl="xla")
+        got = qmm_pallas(x, qp, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=2e-2,
+            atol=2e-2 * float(np.abs(np.asarray(ref)).max()),
+        )

@@ -70,3 +70,101 @@ def test_bits_per_element():
     assert 4.0 < qt.bits_per_element <= 6.1
     qtb = qt.astype_scales(np.dtype("bfloat16"))
     assert qtb.bits_per_element <= 5.1
+
+
+def test_f16_scale_dtype_load(tmp_path):
+    """Plain half-precision scale storage must stay within rounding of the
+    f32-scale logits on smooth fixtures."""
+    import numpy as np
+    import jax.numpy as jnp
+    from tpu_kquant.models.fixtures import tiny_config, write_fixture_gguf
+    from tpu_kquant.runtime import InferenceEngine, load_model
+
+    path = tmp_path / "f16s.gguf"
+    cfg = tiny_config(n_layers=2, dim=64, n_heads=4, n_kv_heads=2, ffn_dim=128,
+                      vocab_size=256, max_seq_len=64)
+    write_fixture_gguf(path, cfg, seed=21, quant="q4_k_m", scale=0.08)
+
+    cfg1, p1, _ = load_model(str(path))
+    cfg2, p2, _ = load_model(str(path), scale_dtype="f16")
+    assert p2["layers"][0]["wo"].arrays["scales"].dtype == jnp.float16
+    assert (p2["layers"][0]["wo"].n_bytes < p1["layers"][0]["wo"].n_bytes)
+
+    e1 = InferenceEngine(cfg1, p1, max_batch=1, max_seq=64, impl="xla")
+    e2 = InferenceEngine(cfg2, p2, max_batch=1, max_seq=64, impl="xla")
+    l1, _, _ = e1.prefill([[3, 5, 7]], e1.new_cache(1))
+    l2, _, _ = e2.prefill([[3, 5, 7]], e2.new_cache(1))
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=0.05)
+
+
+def test_pack_scale_pairs_roundtrip():
+    """sm packing stores exact bf16 roundings of scales and mins."""
+    import ml_dtypes
+    import numpy as np
+    from tpu_kquant.quant.qtensor import QTensor
+    from tpu_kquant.quant.repack import pack_scale_pairs, unpack_scale_pairs_np
+
+    rng = np.random.default_rng(3)
+    s = (rng.normal(size=(16, 64)).astype(np.float32) * 0.01) ** 2 + 1e-4
+    m = rng.normal(size=(16, 64)).astype(np.float32) * 0.05  # mins may be negative
+    qt = QTensor("q4", "kmajor", (64, 512),
+                 {"qs": np.zeros((256, 64), np.uint8), "scales": s, "mins": m})
+    qp = pack_scale_pairs(qt)
+    assert set(qp.arrays) == {"qs", "sm"} and qp.arrays["sm"].dtype == np.float32
+    s2, m2 = unpack_scale_pairs_np(qp.arrays["sm"])
+    np.testing.assert_array_equal(s2, s.astype(ml_dtypes.bfloat16).astype(np.float32))
+    np.testing.assert_array_equal(m2, m.astype(ml_dtypes.bfloat16).astype(np.float32))
+
+
+def test_sm_jnp_dequant_matches_numpy():
+    import numpy as np
+    import jax.numpy as jnp
+    from tpu_kquant.gguf.constants import GGMLType
+    from tpu_kquant.quant.jnp_codecs import dequant_kmajor
+    from tpu_kquant.quant.repack import (
+        pack_scale_pairs, repack, unpack_scale_pairs_np,
+    )
+    from tpu_kquant.quant.qtensor import QTensor
+
+    N, K = 64, 512
+    rng = np.random.default_rng(5)
+    raw = rng.integers(0, 255, N * K // 256 * 144, dtype=np.uint8)
+    qt = repack(raw, GGMLType.Q4_K, (N, K), "kmajor")
+    qp = pack_scale_pairs(qt)
+    dq = type(qp)(qp.kind, qp.layout, qp.shape,
+                  {k: jnp.asarray(v) for k, v in qp.arrays.items()})
+    got = np.asarray(dequant_kmajor(dq))
+    # independent numpy expectation from the unpacked pairs
+    s, m = unpack_scale_pairs_np(qp.arrays["sm"])
+    q = np.asarray(dequant_kmajor(
+        QTensor(qt.kind, "kmajor", qt.shape,
+                {"qs": jnp.asarray(qt.arrays["qs"]),
+                 "scales": jnp.asarray(s), "mins": jnp.asarray(m)})))
+    np.testing.assert_array_equal(got, q)
+
+
+def test_sm_model_load_generate(tmp_path):
+    """scale_dtype='bf16' (packed pairs) end to end: sm arrays present,
+    fewer bytes, generation matches f32 scales on smooth fixtures."""
+    import numpy as np
+    import jax.numpy as jnp
+    from tpu_kquant.models.fixtures import tiny_config, write_fixture_gguf
+    from tpu_kquant.runtime import InferenceEngine, load_model
+
+    path = tmp_path / "sm.gguf"
+    cfg = tiny_config(n_layers=2, dim=64, n_heads=4, n_kv_heads=2, ffn_dim=128,
+                      vocab_size=256, max_seq_len=64)
+    write_fixture_gguf(path, cfg, seed=23, quant="q4_k_m", scale=0.08)
+
+    cfg1, p1, _ = load_model(str(path))
+    cfg2, p2, _ = load_model(str(path), scale_dtype="bf16")
+    assert "sm" in p2["layers"][0]["wo"].arrays
+    assert p2["layers"][0]["wo"].n_bytes < p1["layers"][0]["wo"].n_bytes
+
+    e1 = InferenceEngine(cfg1, p1, max_batch=1, max_seq=64, impl="xla")
+    e2 = InferenceEngine(cfg2, p2, max_batch=1, max_seq=64, impl="xla")
+    l1, _, _ = e1.prefill([[3, 5, 7]], e1.new_cache(1))
+    l2, _, _ = e2.prefill([[3, 5, 7]], e2.new_cache(1))
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=0.05)
+    assert e1.generate([[3, 5, 7]], max_new_tokens=5) == \
+           e2.generate([[3, 5, 7]], max_new_tokens=5)

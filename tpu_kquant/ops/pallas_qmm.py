@@ -89,13 +89,13 @@ def _codes_for_fold(kind, qs, qh, a, K, hi_fold):
     return q2 | ((_dyn_rshift(qh, shh) & 1) << 2)
 
 
-def _qmm_kernel(kind, g, K, TK2, nk, has_qh, has_mins, has_hi, *refs):
+def _qmm_kernel(kind, g, K, TK2, nk, has_qh, has_mins, has_hi, has_sm, *refs):
     it = iter(refs)
     x_lo = next(it)
     x_hi = next(it) if has_hi else None
     qs_ref = next(it)
     qh_ref = next(it) if has_qh else None
-    s_lo = next(it)
+    s_lo = next(it)  # 'sm' packed-pair ref when has_sm (see half())
     s_hi = next(it) if has_hi else None
     m_lo = next(it) if has_mins else None
     m_hi = next(it) if (has_mins and has_hi) else None
@@ -116,9 +116,17 @@ def _qmm_kernel(kind, g, K, TK2, nk, has_qh, has_mins, has_hi, *refs):
 
     def half(x_ref, s_ref, m_ref, hi_fold):
         q = _codes_for_fold(kind, qs, qh, a, K, hi_fold).astype(jnp.float32)
-        w = q * jnp.repeat(s_ref[:].astype(jnp.float32), g, axis=0)
-        if m_ref is not None:
-            w = w - jnp.repeat(m_ref[:].astype(jnp.float32), g, axis=0)
+        if has_sm:
+            # packed-pair scales: f32 container, low 16 bits = bf16(scale)
+            # bits, high 16 = bf16(min) bits (quant.repack.pack_scale_pairs)
+            bits = jax.lax.bitcast_convert_type(s_ref[:], jnp.int32)
+            s = jax.lax.bitcast_convert_type(bits << 16, jnp.float32)
+            m = jax.lax.bitcast_convert_type(bits & jnp.int32(-65536), jnp.float32)
+            w = q * jnp.repeat(s, g, axis=0) - jnp.repeat(m, g, axis=0)
+        else:
+            w = q * jnp.repeat(s_ref[:].astype(jnp.float32), g, axis=0)
+            if m_ref is not None:
+                w = w - jnp.repeat(m_ref[:].astype(jnp.float32), g, axis=0)
         return jax.lax.dot_general(
             x_ref[:].astype(jnp.bfloat16),
             w.astype(jnp.bfloat16),
@@ -149,6 +157,7 @@ def _qmm_call(x2d, arrays_tuple, kind, shape, keys, out_dtype, interpret, tn, tb
     B = x2d.shape[0]
     g = GROUP_SIZE[kind]
     has_qh = "qh" in a
+    has_sm = "sm" in a
     has_mins = "mins" in a
     has_hi = kind != "q8"
 
@@ -208,11 +217,12 @@ def _qmm_call(x2d, arrays_tuple, kind, shape, keys, out_dtype, interpret, tn, tb
     s_hi_spec = pl.BlockSpec(
         (sg, TN), lambda b, i, k: ((K // 2) // TK2 + k, i), memory_space=pltpu.VMEM
     )
+    s_arr = a["sm"] if has_sm else a["scales"]
     in_specs.append(s_lo_spec)
-    inputs.append(a["scales"])
+    inputs.append(s_arr)
     if has_hi:
         in_specs.append(s_hi_spec)
-        inputs.append(a["scales"])
+        inputs.append(s_arr)
     if has_mins:
         in_specs.append(s_lo_spec)
         inputs.append(a["mins"])
@@ -221,7 +231,7 @@ def _qmm_call(x2d, arrays_tuple, kind, shape, keys, out_dtype, interpret, tn, tb
             inputs.append(a["mins"])
 
     kernel = functools.partial(
-        _qmm_kernel, kind, g, K, TK2, nk, has_qh, has_mins, has_hi
+        _qmm_kernel, kind, g, K, TK2, nk, has_qh, has_mins, has_hi, has_sm
     )
     bytes_accessed = (
         sum(v.size * v.dtype.itemsize for v in a.values()) + 2 * B * K + 4 * B * N

@@ -57,6 +57,7 @@ def qmatmul(
         for s in x.shape[:-1]:
             rows *= s
         if (qt.kind in ("q4", "q6") and qt.layout == "kmajor"
+                and "sm" not in qt.arrays  # int8 kernel reads scales/mins
                 and len(qt.shape) == 2 and rows <= 32):
             from tpu_kquant.ops.pallas_qmm_int8 import qmm_int8
 

@@ -49,6 +49,25 @@ def _unpack_codes_kmajor(qt: QTensor) -> jnp.ndarray:
     raise ValueError(f"unknown kind {kind}")
 
 
+def unpack_scale_pairs(sm: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """f32-container packed pairs -> (scales, mins) f32 (see
+    quant.repack.pack_scale_pairs: low 16 bits = bf16 scale, high = bf16 min)."""
+    import jax
+
+    bits = jax.lax.bitcast_convert_type(sm, jnp.int32)
+    s = jax.lax.bitcast_convert_type(bits << 16, jnp.float32)
+    m = jax.lax.bitcast_convert_type(bits & jnp.int32(-65536), jnp.float32)
+    return s, m
+
+
+def _scales_mins(arrays) -> tuple[jnp.ndarray, jnp.ndarray | None]:
+    if "sm" in arrays:
+        return unpack_scale_pairs(arrays["sm"])
+    s = arrays["scales"].astype(jnp.float32)
+    m = arrays["mins"].astype(jnp.float32) if "mins" in arrays else None
+    return s, m
+
+
 def dequant_kmajor(qt: QTensor, dtype=jnp.float32) -> jnp.ndarray:
     """Dequantize a kmajor QTensor to W^T of shape [..., K, N]."""
     if qt.kind == "dense":
@@ -56,10 +75,10 @@ def dequant_kmajor(qt: QTensor, dtype=jnp.float32) -> jnp.ndarray:
     assert qt.layout == "kmajor", qt.layout
     g = GROUP_SIZE[qt.kind]
     q = _unpack_codes_kmajor(qt).astype(jnp.float32)
-    scales = jnp.repeat(qt.arrays["scales"].astype(jnp.float32), g, axis=-2)
-    w = q * scales
-    if "mins" in qt.arrays:
-        w = w - jnp.repeat(qt.arrays["mins"].astype(jnp.float32), g, axis=-2)
+    scales, mins = _scales_mins(qt.arrays)
+    w = q * jnp.repeat(scales, g, axis=-2)
+    if mins is not None:
+        w = w - jnp.repeat(mins, g, axis=-2)
     return w.astype(dtype)
 
 
@@ -96,10 +115,10 @@ def dequant_rows(qt: QTensor, rows, dtype=jnp.float32) -> jnp.ndarray:
     )
     g = GROUP_SIZE[qt.kind]
     q = _unpack_codes_kmajor(sub).astype(jnp.float32)  # [K, R]
-    scales = jnp.repeat(sub.arrays["scales"].astype(jnp.float32), g, axis=0)
-    w = q * scales
-    if "mins" in sub.arrays:
-        w = w - jnp.repeat(sub.arrays["mins"].astype(jnp.float32), g, axis=0)
+    scales, mins = _scales_mins(sub.arrays)
+    w = q * jnp.repeat(scales, g, axis=0)
+    if mins is not None:
+        w = w - jnp.repeat(mins, g, axis=0)
     K = qt.shape[-1]
     out = w.T  # [R, K]
     if rows is None:

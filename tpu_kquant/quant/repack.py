@@ -180,6 +180,38 @@ def _pack_bits_kmajor(codes_T: np.ndarray, kind: str) -> dict[str, np.ndarray]:
     return out
 
 
+def pack_scale_pairs(qt: QTensor) -> QTensor:
+    """Pack per-group (scale, min) into ONE f32-container array ``sm``:
+    low 16 bits = bf16(scale) bits, high 16 bits = bf16(min) bits.
+
+    Halves side-array HBM traffic (q4: 6.0 -> 5.0 bits/weight) while keeping
+    native 8-sublane f32 tiles in the Pallas kernel. A plain bf16 side array
+    saves nothing: its (8, TN) tiles get DMA-padded to bf16's 16-sublane
+    native tile (same bytes moved as f32) AND pay a Mosaic relayout per grid
+    step — measured slower end-to-end than f32. bf16 scale precision costs
+    ~2^-9 relative, ≈ +0.1% relative perplexity on the ppl-delta harness."""
+    if "mins" not in qt.arrays or "scales" not in qt.arrays:
+        return qt
+    import ml_dtypes
+
+    s = np.asarray(qt.arrays["scales"], dtype=np.float32)
+    m = np.asarray(qt.arrays["mins"], dtype=np.float32)
+    sb = s.astype(ml_dtypes.bfloat16).view(np.uint16).astype(np.uint32)
+    mb = m.astype(ml_dtypes.bfloat16).view(np.uint16).astype(np.uint32)
+    sm = (sb | (mb << 16)).view(np.float32)
+    arrays = {k: v for k, v in qt.arrays.items() if k not in ("scales", "mins")}
+    arrays["sm"] = sm
+    return QTensor(qt.kind, qt.layout, qt.shape, arrays)
+
+
+def unpack_scale_pairs_np(sm: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """NumPy inverse of pack_scale_pairs: sm f32-container -> (scales, mins) f32."""
+    bits = sm.view(np.uint32)
+    s = (bits << 16).astype(np.uint32).view(np.float32)
+    m = (bits & np.uint32(0xFFFF0000)).view(np.float32)
+    return s, m
+
+
 def repack(
     raw: np.ndarray,
     ggml_type: GGMLType,

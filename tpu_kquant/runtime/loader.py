@@ -18,7 +18,7 @@ import numpy as np
 from tpu_kquant.gguf import GGUFReader
 from tpu_kquant.models.config import ModelConfig
 from tpu_kquant.quant.qtensor import QTensor
-from tpu_kquant.quant.repack import repack
+from tpu_kquant.quant.repack import pack_scale_pairs, repack
 
 # supported architecture name aliases -> llama-family forward
 LLAMA_FAMILY = {"llama", "mistral", "qwen2", "tinyllama", "mixtral", "phi3"}
@@ -30,22 +30,27 @@ def _put(qt: QTensor, put: Callable[[str, QTensor], QTensor] | None, name: str) 
     return QTensor(qt.kind, qt.layout, qt.shape, {k: jnp.asarray(v) for k, v in qt.arrays.items()})
 
 
-def _repack_named(r: GGUFReader, name: str, layout: str, scale_dtype=np.float32) -> QTensor:
+def _repack_named(r: GGUFReader, name: str, layout: str, scale_dtype=np.float32,
+                  pack_pairs: bool = False) -> QTensor:
     ti = r.tensors[name]
-    return repack(r.tensor_bytes(name), ti.ggml_type, ti.shape, layout=layout, scale_dtype=scale_dtype)
+    qt = repack(r.tensor_bytes(name), ti.ggml_type, ti.shape, layout=layout,
+                scale_dtype=scale_dtype)
+    return pack_scale_pairs(qt) if pack_pairs else qt
 
 
-def _expert_split(r: GGUFReader, name: str, scale_dtype=np.float32) -> list[QTensor]:
+def _expert_split(r: GGUFReader, name: str, scale_dtype=np.float32,
+                  pack_pairs: bool = False) -> list[QTensor]:
     """Split a stacked (E, N, K) expert tensor into per-expert kmajor QTensors."""
     ti = r.tensors[name]
     E, N, K = ti.shape
     raw = r.tensor_bytes(name)
     per = raw.size // E
-    return [
+    qts = [
         repack(raw[e * per : (e + 1) * per], ti.ggml_type, (N, K), layout="kmajor",
                scale_dtype=scale_dtype)
         for e in range(E)
     ]
+    return [pack_scale_pairs(q) for q in qts] if pack_pairs else qts
 
 
 def fuse_kmajor(qts: list[QTensor]) -> QTensor | None:
@@ -75,10 +80,25 @@ def load_model(
     (parallel.sharding provides mesh-aware versions). Returns the open reader
     too (metadata/tokenizer live there).
 
+    scale_dtype: dtype of the per-group scale/min side arrays ("f32"/"bf16"
+    or a numpy dtype). bf16 halves/quarters the side-array HBM traffic
+    (q4: 5.0 vs 6.0 bits/weight) at ~2^-9 relative scale error — the perf
+    CLIs default to it; f32 is the bit-exact-parity default here.
+
     fuse: merge QK and gate+up projections into single packed matmuls.
     Defaults to on for single-shard runs, off under tensor parallelism
     (the concat boundary would straddle TP shards)."""
     import dataclasses
+
+    pack_pairs = False
+    if isinstance(scale_dtype, str):
+        if scale_dtype == "bf16":
+            # packed bf16 (scale, min) pairs in an f32 container (quant.repack.
+            # pack_scale_pairs); kinds without mins (q8) keep f32 scales
+            pack_pairs = True
+            scale_dtype = np.float32
+        else:
+            scale_dtype = {"f32": np.float32, "f16": np.float16}[scale_dtype]
 
     r = GGUFReader(path)
     cfg = ModelConfig.from_gguf(r.metadata)
@@ -92,7 +112,7 @@ def load_model(
         fuse = getattr(put, "tp_size", 1) == 1
 
     def rp(name: str, layout: str = "kmajor") -> QTensor:
-        return _put(_repack_named(r, name, layout, scale_dtype), put, name)
+        return _put(_repack_named(r, name, layout, scale_dtype, pack_pairs), put, name)
 
     params: dict[str, Any] = {
         "tok_embd": rp("token_embd.weight", "rowmajor"),
@@ -112,9 +132,9 @@ def load_model(
             "wo": rp(p + "attn_output.weight"),
             "ffn_norm": rp(p + "ffn_norm.weight", "dense"),
         }
-        wq = _repack_named(r, p + "attn_q.weight", "kmajor", scale_dtype)
-        wk = _repack_named(r, p + "attn_k.weight", "kmajor", scale_dtype)
-        wv = _repack_named(r, p + "attn_v.weight", "kmajor", scale_dtype)
+        wq = _repack_named(r, p + "attn_q.weight", "kmajor", scale_dtype, pack_pairs)
+        wk = _repack_named(r, p + "attn_k.weight", "kmajor", scale_dtype, pack_pairs)
+        wv = _repack_named(r, p + "attn_v.weight", "kmajor", scale_dtype, pack_pairs)
         fused_qk = fuse_kmajor([wq, wk]) if fuse else None
         if fused_qk is not None:
             layer["wqk"] = _put(fused_qk, put, p + "attn_qk.weight")
@@ -136,7 +156,7 @@ def load_model(
                 ("w_up", "ffn_up_exps.weight"),
                 ("w_down", "ffn_down_exps.weight"),
             ):
-                qts = _expert_split(r, p + tname, scale_dtype)
+                qts = _expert_split(r, p + tname, scale_dtype, pack_pairs)
                 arrays = {
                     k: np.stack([np.asarray(q.arrays[k]) for q in qts])
                     for k in qts[0].arrays
@@ -145,8 +165,8 @@ def load_model(
                 stk[wname] = _put(qt, put, p + tname)
             layer["experts"] = stk
         else:
-            wg = _repack_named(r, p + "ffn_gate.weight", "kmajor", scale_dtype)
-            wu = _repack_named(r, p + "ffn_up.weight", "kmajor", scale_dtype)
+            wg = _repack_named(r, p + "ffn_gate.weight", "kmajor", scale_dtype, pack_pairs)
+            wu = _repack_named(r, p + "ffn_up.weight", "kmajor", scale_dtype, pack_pairs)
             fused_gu = fuse_kmajor([wg, wu]) if fuse else None
             if fused_gu is not None:
                 layer["w_gateup"] = _put(fused_gu, put, p + "ffn_gateup.weight")

@@ -14,14 +14,15 @@ import statistics
 import time
 
 
-def run_bench(model_path: str, pp: int, tg: int, batch: int, reps: int, impl: str):
+def run_bench(model_path: str, pp: int, tg: int, batch: int, reps: int, impl: str,
+              scale_dtype: str = "bf16"):
     import jax
     import jax.numpy as jnp
     import numpy as np
 
     from tpu_kquant.runtime import InferenceEngine, load_model
 
-    cfg, params, reader = load_model(model_path)
+    cfg, params, reader = load_model(model_path, scale_dtype=scale_dtype)
     n_params = sum(
         int(np.prod(ti.shape)) for ti in reader.tensors.values()
     )
@@ -69,13 +70,15 @@ def main(argv=None):
     ap.add_argument("-b", "--batch", type=int, default=1)
     ap.add_argument("-r", "--reps", type=int, default=3)
     ap.add_argument("--impl", default="auto")
+    ap.add_argument("--scale-dtype", default="bf16", choices=["bf16", "f32", "f16"])
     args = ap.parse_args(argv)
 
     import jax
 
     backend = jax.default_backend()
     cfg, size_mib, n_params, pps, tgs = run_bench(
-        args.model, args.pp, args.tg, args.batch, args.reps, args.impl
+        args.model, args.pp, args.tg, args.batch, args.reps, args.impl,
+        args.scale_dtype,
     )
     name = f"{cfg.arch} {n_params/1e9:.1f}B Q4_K_M"
     print("| model | size | params | backend | test | t/s |")

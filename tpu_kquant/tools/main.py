@@ -23,13 +23,14 @@ def main(argv=None):
     ap.add_argument("--impl", default="auto", choices=["auto", "xla", "pallas", "int8"])
     ap.add_argument("--kv-int8", action="store_true", help="INT8 KV cache")
     ap.add_argument("--max-seq", type=int, default=None)
+    ap.add_argument("--scale-dtype", default="bf16", choices=["bf16", "f32", "f16"])
     args = ap.parse_args(argv)
 
     from tpu_kquant.runtime import InferenceEngine, load_model
     from tpu_kquant.tokenizer import from_gguf_metadata
 
     t0 = time.time()
-    cfg, params, reader = load_model(args.model)
+    cfg, params, reader = load_model(args.model, scale_dtype=args.scale_dtype)
     tok = from_gguf_metadata(reader.metadata)
     print(f"[load {time.time()-t0:.1f}s] {cfg.arch} L={cfg.n_layers} dim={cfg.dim} "
           f"vocab={cfg.vocab_size}", file=sys.stderr)
