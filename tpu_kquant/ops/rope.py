@@ -60,6 +60,21 @@ def rope_cos_sin(positions: jnp.ndarray, p: RopeParams) -> tuple[jnp.ndarray, jn
     return jnp.cos(theta) * mscale, jnp.sin(theta) * mscale
 
 
+def rope_delta_cos_sin(delta, p: RopeParams) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Unit-magnitude rotation tables for re-rotating already-roped K vectors
+    by ``delta`` positions (KV-cache context shift, the llama.cpp
+    llama_kv_cache_seq_add/K-shift equivalent).
+
+    rope theta is linear in position (theta(pos) = pos * f_dim, with f_dim a
+    per-dimension constant even under YaRN mixing), so rope(pos + delta) =
+    rotate(rope(pos), delta). rope_cos_sin folds the YaRN attention mscale
+    into both tables; a shift must be a *pure* rotation, so divide it out
+    (cos at position 0 is exactly mscale)."""
+    c0, _ = rope_cos_sin(jnp.zeros((), jnp.float32), p)
+    c, s = rope_cos_sin(jnp.asarray(delta, jnp.float32), p)
+    return c / c0, s / c0
+
+
 def apply_rope(
     x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray, mode: str = "norm"
 ) -> jnp.ndarray:

@@ -114,6 +114,14 @@ class InferenceEngine:
 
         self._prefill_slot = _prefill_slot
 
+        from tpu_kquant.runtime.kv_cache import shift_cache
+
+        @partial(jax.jit, donate_argnums=(0,), static_argnums=(1, 2))
+        def _shift(cache, n_keep, n_discard):
+            return shift_cache(cache, n_keep, n_discard, cfg.rope)
+
+        self._shift = _shift
+
     def new_cache(self, batch: int | None = None) -> KVCache:
         return KVCache.create(
             self.cfg.n_layers,
@@ -173,6 +181,20 @@ class InferenceEngine:
         on-device (single dispatch)."""
         return self._decode_loop(self.params, first_tok, start_pos, cache, n_steps)
 
+    def shift_context(self, cache: KVCache, positions, n_keep: int, n_discard: int):
+        """Discard positions [n_keep, n_keep + n_discard) from every row and
+        slide the tail down (K re-rotated in place). Returns (cache,
+        new_positions). Every row must have at least n_keep + n_discard live
+        entries, or it would lose tokens it still attends to."""
+        positions = np.asarray(positions)
+        if int(positions.min()) < n_keep + n_discard:
+            raise ValueError(
+                f"shift of {n_discard} after keep={n_keep} would drop live "
+                f"entries of a row at position {int(positions.min())}"
+            )
+        cache = self._shift(cache, int(n_keep), int(n_discard))
+        return cache, jnp.asarray(positions - n_discard, jnp.int32)
+
     # -- session persistence ---------------------------------------------------
     def save_session(self, path: str, cache: KVCache, lengths) -> None:
         """Serialize a KV cache + per-row lengths (the llama.cpp session-file
@@ -225,8 +247,15 @@ class InferenceEngine:
         top_p: float = 1.0,
         eos_id: int | None = None,
         seed: int = 0,
+        context_shift: bool = False,
+        n_keep: int = 0,
     ) -> list[list[int]]:
-        """Greedy/sampled generation; returns newly generated ids per row."""
+        """Greedy/sampled generation; returns newly generated ids per row.
+
+        context_shift: when the KV cache fills, discard half of the
+        (max_seq - n_keep) oldest evictable positions and keep generating —
+        llama.cpp main's --keep/context-shift behavior. Without it,
+        generation is clamped to the KV capacity."""
         B = len(prompts)
         cache = self.new_cache(B)
         logits, cache, lens = self.prefill(prompts, cache)
@@ -235,8 +264,9 @@ class InferenceEngine:
         out: list[list[int]] = [[] for _ in range(B)]
         done = np.zeros(B, bool)
         tok = None
-        # never decode past the KV capacity (slot p must exist to be written)
-        max_new_tokens = min(max_new_tokens, self.max_seq - int(lens.max()))
+        if not context_shift:
+            # never decode past the KV capacity (slot p must exist to be written)
+            max_new_tokens = min(max_new_tokens, self.max_seq - int(lens.max()))
         for _ in range(max_new_tokens):
             if temperature <= 0.0:
                 tok = greedy(logits)
@@ -251,6 +281,11 @@ class InferenceEngine:
                         done[i] = True
             if done.all():
                 break
+            if context_shift and int(jnp.max(positions)) >= self.max_seq:
+                n_discard = max(1, (self.max_seq - n_keep) // 2)
+                cache, positions = self.shift_context(
+                    cache, positions, n_keep, n_discard
+                )
             logits, cache = self.decode_step(tok, positions, cache)
             positions = positions + 1
         return out

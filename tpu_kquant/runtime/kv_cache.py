@@ -147,6 +147,44 @@ def layer_scales(lkv: LayerKV):
     return None if ks_l is None else (ks_l, vs_l)
 
 
+def shift_cache(cache: KVCache, n_keep: int, n_discard: int, rope) -> KVCache:
+    """Context shift: drop positions [n_keep, n_keep + n_discard) and slide the
+    tail down, re-rotating the moved K entries by -n_discard positions.
+
+    The llama.cpp equivalent is llama_kv_cache_seq_rm + seq_add (the "K-shift"
+    ggml graph the reference's KV cache exposes via get_has_shift,
+    SURVEY.md 2.1 "KV cache"); it is what makes infinite generation possible
+    once the context fills. V carries no positional encoding and only moves.
+
+    INT8 caches dequantize the moved K rows, rotate in f32, and requantize
+    with fresh per-(token, head) amax scales.
+    """
+    from tpu_kquant.ops.rope import apply_rope, rope_delta_cos_sin
+
+    S = cache.max_seq
+    idx = jnp.arange(S)
+    src = jnp.where(idx < n_keep, idx, jnp.minimum(idx + n_discard, S - 1))
+    k = jnp.take(cache.k, src, axis=2)
+    v = jnp.take(cache.v, src, axis=2)
+    ks = None if cache.k_scale is None else jnp.take(cache.k_scale, src, axis=2)
+    vs = None if cache.v_scale is None else jnp.take(cache.v_scale, src, axis=2)
+
+    cos, sin = rope_delta_cos_sin(-n_discard, rope)
+    moved = idx >= n_keep  # [S]
+    if cache.quantized:
+        kf = k.astype(jnp.float32) * ks[..., None]
+        kr = apply_rope(kf, cos, sin, rope.mode)
+        scale = jnp.max(jnp.abs(kr), axis=-1) / 127.0
+        safe = jnp.where(scale > 0, scale, 1.0)
+        kq = jnp.round(kr / safe[..., None]).astype(jnp.int8)
+        k = jnp.where(moved[None, None, :, None, None], kq, k)
+        ks = jnp.where(moved[None, None, :, None], scale.astype(jnp.float32), ks)
+    else:
+        kr = apply_rope(k, cos, sin, rope.mode).astype(k.dtype)
+        k = jnp.where(moved[None, None, :, None, None], kr, k)
+    return KVCache(k, v, ks, vs)
+
+
 def slice_batch_row(cache: KVCache, slot) -> KVCache:
     """View of one batch row (slot may be traced): [L, 1, S, Hkv, D]."""
     import jax

@@ -24,6 +24,13 @@ def main(argv=None):
     ap.add_argument("--kv-int8", action="store_true", help="INT8 KV cache")
     ap.add_argument("--max-seq", type=int, default=None)
     ap.add_argument("--scale-dtype", default="bf16", choices=["bf16", "f32", "f16"])
+    ap.add_argument("--ctx-shift", action="store_true",
+                    help="keep generating past the KV capacity by context "
+                         "shift (llama.cpp main's behavior when the context "
+                         "fills)")
+    ap.add_argument("--keep", type=int, default=0,
+                    help="tokens at the start of the prompt pinned across "
+                         "context shifts (llama.cpp --keep)")
     args = ap.parse_args(argv)
 
     from tpu_kquant.runtime import InferenceEngine, load_model
@@ -44,6 +51,7 @@ def main(argv=None):
         [ids], max_new_tokens=args.n_tokens, temperature=args.temp,
         top_k=args.top_k, top_p=args.top_p,
         eos_id=getattr(tok, "eos_id", None), seed=args.seed,
+        context_shift=args.ctx_shift, n_keep=args.keep,
     )[0]
     dt = time.time() - t0
     text = tok.decode(out)
