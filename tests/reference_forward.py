@@ -14,13 +14,17 @@ def rms_norm(x, w, eps):
     return x / np.sqrt(np.mean(x * x, axis=-1, keepdims=True) + eps) * w
 
 
-def rope(x, positions, base):
-    # x: [T, H, D]; ggml NORM mode: rotate adjacent pairs (2i, 2i+1)
+def rope(x, positions, base, mode="norm"):
+    # x: [T, H, D]; ggml NORM mode rotates adjacent pairs (2i, 2i+1),
+    # NEOX mode rotates split halves (i, i + D/2)
     T, H, D = x.shape
     half = D // 2
     inv = base ** (-2.0 * np.arange(half) / D)
     theta = positions[:, None] * inv[None, :]  # [T, half]
     cos, sin = np.cos(theta)[:, None, :], np.sin(theta)[:, None, :]
+    if mode == "neox":
+        x1, x2 = x[..., :half], x[..., half:]
+        return np.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
     x1, x2 = x[..., 0::2], x[..., 1::2]
     out = np.stack([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
     return out.reshape(x.shape)
@@ -36,32 +40,59 @@ def silu(x):
     return x / (1.0 + np.exp(-x))
 
 
+def gelu(x):
+    from math import erf
+
+    return x * 0.5 * (1.0 + np.vectorize(erf)(x / np.sqrt(2.0)))
+
+
 def ref_forward(reader, cfg, tokens):
-    """Full-sequence causal forward. tokens: [T] -> logits [T, vocab]."""
+    """Full-sequence causal forward. tokens: [T] -> logits [T, vocab].
+
+    Honors the arch quirks the engine supports: neox rope, embedding scaling,
+    gemma2 post-norms / softcaps / alternating sliding window, GeGLU, tied
+    embeddings."""
     t = lambda name: reader.tensor_float(name).astype(np.float64)
     T = len(tokens)
     positions = np.arange(T, dtype=np.float64)
-    x = t("token_embd.weight")[tokens]
+    x = t("token_embd.weight")[tokens] * cfg.embed_scale
     H, Hkv, D = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
+    act = gelu if cfg.act_fn == "gelu" else silu
     for i in range(cfg.n_layers):
         p = f"blk.{i}."
         h = rms_norm(x, t(p + "attn_norm.weight"), cfg.norm_eps)
         q = (h @ t(p + "attn_q.weight").T).reshape(T, H, D)
         k = (h @ t(p + "attn_k.weight").T).reshape(T, Hkv, D)
         v = (h @ t(p + "attn_v.weight").T).reshape(T, Hkv, D)
-        q = rope(q, positions, cfg.rope.freq_base)
-        k = rope(k, positions, cfg.rope.freq_base)
+        q = rope(q, positions, cfg.rope.freq_base, cfg.rope.mode)
+        k = rope(k, positions, cfg.rope.freq_base, cfg.rope.mode)
         G = H // Hkv
         k_rep = np.repeat(k, G, axis=1)  # [T, H, D]
         v_rep = np.repeat(v, G, axis=1)
         logits = np.einsum("thd,shd->hts", q, k_rep) / np.sqrt(D)
+        if cfg.attn_logit_softcap > 0.0:
+            logits = np.tanh(logits / cfg.attn_logit_softcap) * cfg.attn_logit_softcap
         mask = np.tril(np.ones((T, T), bool))
+        win = cfg.layer_window(i)
+        if win > 0:
+            qp, kp = np.arange(T)[:, None], np.arange(T)[None, :]
+            mask &= kp > qp - win
         logits = np.where(mask[None], logits, -np.inf)
         attn = np.einsum("hts,shd->thd", softmax(logits), v_rep).reshape(T, H * D)
-        x = x + attn @ t(p + "attn_output.weight").T
+        h = attn @ t(p + "attn_output.weight").T
+        if cfg.post_norms:
+            h = rms_norm(h, t(p + "post_attention_norm.weight"), cfg.norm_eps)
+        x = x + h
         h = rms_norm(x, t(p + "ffn_norm.weight"), cfg.norm_eps)
         gate = h @ t(p + "ffn_gate.weight").T
         up = h @ t(p + "ffn_up.weight").T
-        x = x + (silu(gate) * up) @ t(p + "ffn_down.weight").T
+        h = (act(gate) * up) @ t(p + "ffn_down.weight").T
+        if cfg.post_norms:
+            h = rms_norm(h, t(p + "post_ffw_norm.weight"), cfg.norm_eps)
+        x = x + h
     x = rms_norm(x, t("output_norm.weight"), cfg.norm_eps)
-    return x @ t("output.weight").T
+    out_w = t("token_embd.weight") if cfg.tie_embeddings else t("output.weight")
+    logits = x @ out_w.T
+    if cfg.final_logit_softcap > 0.0:
+        logits = np.tanh(logits / cfg.final_logit_softcap) * cfg.final_logit_softcap
+    return logits

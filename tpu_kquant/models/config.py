@@ -33,10 +33,25 @@ class ModelConfig:
     tie_embeddings: bool = False
     attn_bias: bool = False
     sliding_window: int = 0  # 0 = full attention
+    swa_pattern: int = 1  # 1 = every layer sliding; N>1 = layers with
+    #                       i % N == 0 sliding, rest full (gemma2: 2)
+    act_fn: str = "silu"  # FFN gate activation ('silu' | 'gelu')
+    post_norms: bool = False  # gemma2: extra RMSNorm after attn and ffn blocks
+    embed_scale: float = 1.0  # gemma scales embeddings by sqrt(dim)
+    attn_logit_softcap: float = 0.0  # gemma2: 50.0
+    final_logit_softcap: float = 0.0  # gemma2: 30.0
 
     @property
     def is_moe(self) -> bool:
         return self.n_experts > 0
+
+    def layer_window(self, i: int) -> int:
+        """Sliding-window size for layer i (0 = full attention)."""
+        if self.sliding_window <= 0:
+            return 0
+        if self.swa_pattern <= 1 or i % self.swa_pattern == 0:
+            return self.sliding_window
+        return 0
 
     @staticmethod
     def from_gguf(md: dict[str, Any]) -> "ModelConfig":
@@ -56,9 +71,13 @@ class ModelConfig:
         freq_scale = 1.0 / factor if factor not in (0.0, 1.0) else 1.0
         ext_factor = 1.0 if scaling_type == "yarn" else 0.0
         # ggml rope type per architecture: llama/mistral exports permute q/k
-        # for adjacent-pair ('norm') rotation; qwen2/phi3 use split-half
+        # for adjacent-pair ('norm') rotation; qwen2/phi3/gemma use split-half
         # ('neox') like HF
-        mode = "neox" if arch in ("qwen2", "phi3", "stablelm", "gptneox") else "norm"
+        mode = (
+            "neox"
+            if arch in ("qwen2", "phi3", "stablelm", "gptneox", "gemma", "gemma2")
+            else "norm"
+        )
         rope = RopeParams(
             head_dim=head_dim,
             n_rot=n_rot,
@@ -71,7 +90,22 @@ class ModelConfig:
         vocab = md.get(f"{arch}.vocab_size")
         if vocab is None:
             vocab = len(md.get("tokenizer.ggml.tokens", []))
+        # arch-wide quirks (the reference's per-arch hparams hardcoding in
+        # llama_model::load_hparams). gemma GGUF exports store norm weights
+        # with the (1 + w) offset already applied, so RMSNorm stays plain.
+        quirks: dict[str, Any] = {}
+        if arch in ("gemma", "gemma2"):
+            quirks.update(act_fn="gelu", embed_scale=float(dim) ** 0.5,
+                          tie_embeddings=True)
+        if arch == "gemma2":
+            quirks.update(
+                post_norms=True,
+                swa_pattern=2,
+                attn_logit_softcap=float(g("attn_logit_softcapping", 50.0)),
+                final_logit_softcap=float(g("final_logit_softcapping", 30.0)),
+            )
         return ModelConfig(
+            **quirks,
             arch=arch,
             n_layers=int(g("block_count")),
             dim=dim,
@@ -110,4 +144,8 @@ class ModelConfig:
             md[f"{a}.expert_used_count"] = self.n_experts_used
         if self.sliding_window:
             md[f"{a}.attention.sliding_window"] = self.sliding_window
+        if self.attn_logit_softcap:
+            md[f"{a}.attn_logit_softcapping"] = self.attn_logit_softcap
+        if self.final_logit_softcap:
+            md[f"{a}.final_logit_softcapping"] = self.final_logit_softcap
         return md

@@ -31,13 +31,24 @@ def tiny_config(
     sliding_window: int = 0,
 ) -> ModelConfig:
     hd = dim // n_heads
+    quirks: dict = {}
+    rope_mode = "norm"
+    if arch in ("qwen2", "phi3"):
+        rope_mode = "neox"
+    if arch in ("gemma", "gemma2"):
+        rope_mode = "neox"
+        quirks.update(act_fn="gelu", embed_scale=float(dim) ** 0.5,
+                      tie_embeddings=True)
+    if arch == "gemma2":
+        quirks.update(post_norms=True, swa_pattern=2,
+                      attn_logit_softcap=50.0, final_logit_softcap=30.0)
     return ModelConfig(
         arch=arch, n_layers=n_layers, dim=dim, n_heads=n_heads,
         n_kv_heads=n_kv_heads, head_dim=hd, ffn_dim=ffn_dim,
         vocab_size=vocab_size, max_seq_len=max_seq_len,
-        rope=RopeParams(head_dim=hd, n_rot=hd),
+        rope=RopeParams(head_dim=hd, n_rot=hd, mode=rope_mode),
         n_experts=n_experts, n_experts_used=n_experts_used,
-        sliding_window=sliding_window,
+        sliding_window=sliding_window, **quirks,
     )
 
 
@@ -133,10 +144,14 @@ def write_fixture_gguf(
     D, H, Hkv, hd, F, V = cfg.dim, cfg.n_heads, cfg.n_kv_heads, cfg.head_dim, cfg.ffn_dim, cfg.vocab_size
     add("token_embd.weight", (V, D))
     add("output_norm.weight", (D,))
-    add("output.weight", (V, D))
+    if not cfg.tie_embeddings:
+        add("output.weight", (V, D))
     for i in range(cfg.n_layers):
         p = f"blk.{i}."
         add(p + "attn_norm.weight", (D,))
+        if cfg.post_norms:
+            add(p + "post_attention_norm.weight", (D,))
+            add(p + "post_ffw_norm.weight", (D,))
         add(p + "attn_q.weight", (H * hd, D))
         add(p + "attn_k.weight", (Hkv * hd, D))
         add(p + "attn_v.weight", (Hkv * hd, D))

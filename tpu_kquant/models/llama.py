@@ -19,7 +19,7 @@ import jax.numpy as jnp
 
 from tpu_kquant.models.config import ModelConfig
 from tpu_kquant.ops import apply_rope, attention_decode, qmatmul, rms_norm, rope_cos_sin
-from tpu_kquant.ops.activations import swiglu
+from tpu_kquant.ops.activations import geglu, swiglu
 from tpu_kquant.quant.jnp_codecs import dequant_rows
 
 if TYPE_CHECKING:  # avoid models <-> runtime import cycle
@@ -40,6 +40,7 @@ def llama_layer(
     lkv,  # LayerKV: this layer's cache slice (k, v, k_scale, v_scale)
     impl: str = "auto",
     mesh=None,  # only used by the MoE a2a dispatch (cfg.moe_impl == 'a2a')
+    window: "int | jnp.ndarray" = 0,  # sliding window (0/huge = full); may be traced
 ):
     """One transformer block. Returns (x, updated LayerKV)."""
     # local import: runtime.__init__ imports the engine, which imports us
@@ -67,24 +68,31 @@ def llama_layer(
 
     lkv = append_layer(lkv, k, v, positions)
     attn = attention_decode(q, lkv[0], lkv[1], positions, layer_scales(lkv),
-                            sliding_window=cfg.sliding_window,
+                            logit_softcap=cfg.attn_logit_softcap,
+                            sliding_window=window,
                             impl="xla" if impl == "xla" else "auto")
-    x = x + qmatmul(attn.reshape(B, T, H * D), layer["wo"], impl)
+    h = qmatmul(attn.reshape(B, T, H * D), layer["wo"], impl)
+    if cfg.post_norms:  # gemma2 post-attention norm
+        h = rms_norm(h, _norm_w(layer["post_attn_norm"]), cfg.norm_eps)
+    x = x + h
 
     h = rms_norm(x, _norm_w(layer["ffn_norm"]), cfg.norm_eps)
+    act = geglu if cfg.act_fn == "gelu" else swiglu
     if cfg.is_moe:
         from tpu_kquant.models.moe import moe_ffn
 
-        x = x + moe_ffn(layer, cfg, h, impl, mesh)
+        h = moe_ffn(layer, cfg, h, impl, mesh)
     elif "w_gateup" in layer:  # fused gate+up projection
         gu = qmatmul(h, layer["w_gateup"], impl)
         F = gu.shape[-1] // 2
-        x = x + qmatmul(swiglu(gu[..., :F], gu[..., F:]), layer["w_down"], impl)
+        h = qmatmul(act(gu[..., :F], gu[..., F:]), layer["w_down"], impl)
     else:
         gate = qmatmul(h, layer["w_gate"], impl)
         up = qmatmul(h, layer["w_up"], impl)
-        x = x + qmatmul(swiglu(gate, up), layer["w_down"], impl)
-    return x, lkv
+        h = qmatmul(act(gate, up), layer["w_down"], impl)
+    if cfg.post_norms:  # gemma2 post-ffn norm
+        h = rms_norm(h, _norm_w(layer["post_ffn_norm"]), cfg.norm_eps)
+    return x + h, lkv
 
 
 def stack_layer_params(params: dict[str, Any]) -> dict[str, Any]:
@@ -114,32 +122,50 @@ def llama_forward(
 ) -> tuple[jnp.ndarray, KVCache]:
     """Returns (logits [B, T, vocab] (or [B, 1, vocab]), updated cache)."""
     x = dequant_rows(params["tok_embd"], tokens, dtype=act_dtype)
+    if cfg.embed_scale != 1.0:  # gemma scales embeddings by sqrt(dim)
+        x = x * jnp.asarray(cfg.embed_scale, act_dtype)
     cos, sin = rope_cos_sin(positions, cfg.rope)
     cos, sin = cos.astype(jnp.float32), sin.astype(jnp.float32)
+
+    # full-attention layers encode their window as "huge" when windows must be
+    # traced (alternating-SWA archs scanned over layers), 0 when static
+    FULL = 1 << 30
 
     if "layers_stacked" in params:  # lax.scan over stacked layers
         import jax
 
+        windows = None
+        if cfg.sliding_window > 0:
+            windows = jnp.asarray(
+                [cfg.layer_window(i) or FULL for i in range(cfg.n_layers)],
+                jnp.int32,
+            )
+
         def body(x, xs):
-            layer, lkv = xs
+            layer, lkv, win = xs
             x, lkv = llama_layer(layer, cfg, x, positions, cos, sin, lkv, impl,
-                                 mesh)
+                                 mesh, window=0 if win is None else win)
             return x, lkv
 
         from tpu_kquant.runtime.kv_cache import KVCache as _KVCache
 
         xs = (params["layers_stacked"],
-              (cache.k, cache.v, cache.k_scale, cache.v_scale))
+              (cache.k, cache.v, cache.k_scale, cache.v_scale),
+              windows)
         x, (k, v, ks, vs) = jax.lax.scan(body, x, xs)
         cache = _KVCache(k, v, ks, vs)
     else:
         for i, layer in enumerate(params["layers"]):
             x, lkv = llama_layer(layer, cfg, x, positions, cos, sin,
-                                 cache.layer(i), impl, mesh)
+                                 cache.layer(i), impl, mesh,
+                                 window=cfg.layer_window(i))
             cache = cache.set_layer(i, lkv)
 
     x = rms_norm(x, _norm_w(params["output_norm"]), cfg.norm_eps)
     if logits_last_only:
         x = x[:, -1:, :]
     logits = qmatmul(x, params["output"], impl, out_dtype=jnp.float32)
+    if cfg.final_logit_softcap > 0.0:
+        cap = cfg.final_logit_softcap
+        logits = jnp.tanh(logits / cap) * cap
     return logits, cache

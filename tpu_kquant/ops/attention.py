@@ -41,10 +41,16 @@ def attention_decode(
     kernel (ops.pallas_attention); everything else the fused XLA path below.
     """
     B, T, H, D = q.shape
+    # sliding_window may be a traced int32 scalar (per-layer windows threaded
+    # through lax.scan for alternating-SWA archs like gemma2); a traced window
+    # means "always apply the window mask" — full-attention layers encode it
+    # as a huge window, never 0.
+    static_win = isinstance(sliding_window, int)
     if (
         impl in ("auto", "pallas")
         and T == 1
         and logit_softcap == 0.0
+        and static_win
         and sliding_window == 0
         and D % 64 == 0
         and k_cache.shape[1] % 64 == 0
@@ -81,7 +87,7 @@ def attention_decode(
 
     kv_pos = jax.lax.broadcasted_iota(jnp.int32, (1, 1, S), 2)
     mask = kv_pos <= q_positions[:, :, None]  # [B, T, S] causal
-    if sliding_window > 0:
+    if not static_win or sliding_window > 0:
         mask &= kv_pos > q_positions[:, :, None] - sliding_window
     logits = jnp.where(mask[:, :, None, None, :], logits, -jnp.inf)
 

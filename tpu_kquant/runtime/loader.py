@@ -21,7 +21,8 @@ from tpu_kquant.quant.qtensor import QTensor
 from tpu_kquant.quant.repack import pack_scale_pairs, repack
 
 # supported architecture name aliases -> llama-family forward
-LLAMA_FAMILY = {"llama", "mistral", "qwen2", "tinyllama", "mixtral", "phi3"}
+LLAMA_FAMILY = {"llama", "mistral", "qwen2", "tinyllama", "mixtral", "phi3",
+                "gemma", "gemma2"}
 
 
 def _put(qt: QTensor, put: Callable[[str, QTensor], QTensor] | None, name: str) -> QTensor:
@@ -132,6 +133,9 @@ def load_model(
             "wo": rp(p + "attn_output.weight"),
             "ffn_norm": rp(p + "ffn_norm.weight", "dense"),
         }
+        if cfg.post_norms:  # gemma2 post-attention / post-ffn norms
+            layer["post_attn_norm"] = rp(p + "post_attention_norm.weight", "dense")
+            layer["post_ffn_norm"] = rp(p + "post_ffw_norm.weight", "dense")
         wq = _repack_named(r, p + "attn_q.weight", "kmajor", scale_dtype, pack_pairs)
         wk = _repack_named(r, p + "attn_k.weight", "kmajor", scale_dtype, pack_pairs)
         wv = _repack_named(r, p + "attn_v.weight", "kmajor", scale_dtype, pack_pairs)
