@@ -31,6 +31,12 @@ def main(argv=None):
     ap.add_argument("--keep", type=int, default=0,
                     help="tokens at the start of the prompt pinned across "
                          "context shifts (llama.cpp --keep)")
+    ap.add_argument("--draft", default=None, metavar="GGUF",
+                    help="draft model for greedy speculative decoding "
+                         "(llama.cpp tools/speculative equivalent; output is "
+                         "identical to plain greedy, only faster)")
+    ap.add_argument("--n-draft", type=int, default=6,
+                    help="draft tokens proposed per verify step")
     args = ap.parse_args(argv)
 
     from tpu_kquant.runtime import InferenceEngine, load_model
@@ -47,12 +53,27 @@ def main(argv=None):
     eng = InferenceEngine(cfg, params, max_batch=1, max_seq=max_seq,
                           kv_quantized=args.kv_int8, impl=args.impl)
     t0 = time.time()
-    out = eng.generate(
-        [ids], max_new_tokens=args.n_tokens, temperature=args.temp,
-        top_k=args.top_k, top_p=args.top_p,
-        eos_id=getattr(tok, "eos_id", None), seed=args.seed,
-        context_shift=args.ctx_shift, n_keep=args.keep,
-    )[0]
+    if args.draft is not None:
+        from tpu_kquant.runtime.speculative import generate_speculative
+
+        dcfg, dparams, _ = load_model(args.draft, scale_dtype=args.scale_dtype)
+        deng = InferenceEngine(dcfg, dparams, max_batch=1, max_seq=max_seq,
+                               kv_quantized=args.kv_int8, impl=args.impl)
+        outs, stats = generate_speculative(
+            eng, deng, [ids], max_new_tokens=args.n_tokens,
+            n_draft=args.n_draft, eos_id=getattr(tok, "eos_id", None),
+        )
+        out = outs[0]
+        acc = stats["accepted"] / max(1, stats["drafted"])
+        print(f"[speculative: {stats['rounds']} rounds, "
+              f"{acc:.0%} draft acceptance]", file=sys.stderr)
+    else:
+        out = eng.generate(
+            [ids], max_new_tokens=args.n_tokens, temperature=args.temp,
+            top_k=args.top_k, top_p=args.top_p,
+            eos_id=getattr(tok, "eos_id", None), seed=args.seed,
+            context_shift=args.ctx_shift, n_keep=args.keep,
+        )[0]
     dt = time.time() - t0
     text = tok.decode(out)
     print(text)
