@@ -249,13 +249,23 @@ class InferenceEngine:
         seed: int = 0,
         context_shift: bool = False,
         n_keep: int = 0,
+        min_p: float = 0.0,
+        repeat_penalty: float = 1.0,
+        presence_penalty: float = 0.0,
+        frequency_penalty: float = 0.0,
+        penalty_last_n: int = 64,
     ) -> list[list[int]]:
         """Greedy/sampled generation; returns newly generated ids per row.
 
         context_shift: when the KV cache fills, discard half of the
         (max_seq - n_keep) oldest evictable positions and keep generating —
         llama.cpp main's --keep/context-shift behavior. Without it,
-        generation is clamped to the KV capacity."""
+        generation is clamped to the KV capacity.
+
+        repeat/presence/frequency penalties follow llama.cpp's penalties
+        sampler over the last penalty_last_n context tokens."""
+        from tpu_kquant.ops.sampling import apply_penalties
+
         B = len(prompts)
         cache = self.new_cache(B)
         logits, cache, lens = self.prefill(prompts, cache)
@@ -264,21 +274,49 @@ class InferenceEngine:
         out: list[list[int]] = [[] for _ in range(B)]
         done = np.zeros(B, bool)
         tok = None
+        use_penalties = (
+            repeat_penalty != 1.0
+            or presence_penalty != 0.0
+            or frequency_penalty != 0.0
+        ) and penalty_last_n != 0
+        if use_penalties:
+            # occurrence counts over a sliding window of the last
+            # penalty_last_n context tokens, per row (prompt tail included)
+            from collections import deque
+
+            windows = [
+                deque(p[-penalty_last_n:], maxlen=penalty_last_n) for p in prompts
+            ]
+            counts = np.zeros((B, self.cfg.vocab_size), np.int32)
+            for b, w in enumerate(windows):
+                for t in w:
+                    counts[b, t] += 1
         if not context_shift:
             # never decode past the KV capacity (slot p must exist to be written)
             max_new_tokens = min(max_new_tokens, self.max_seq - int(lens.max()))
         for _ in range(max_new_tokens):
+            if use_penalties:
+                logits = apply_penalties(
+                    jnp.asarray(logits), jnp.asarray(counts), repeat_penalty,
+                    presence_penalty, frequency_penalty,
+                )
             if temperature <= 0.0:
                 tok = greedy(logits)
             else:
                 key, sub = jax.random.split(key)
-                tok = sample(logits, sub, temperature, top_k, top_p)
+                tok = sample(logits, sub, temperature, top_k, top_p, min_p)
             tok_np = np.asarray(tok)
             for i in range(B):
                 if not done[i]:
                     out[i].append(int(tok_np[i]))
                     if eos_id is not None and tok_np[i] == eos_id:
                         done[i] = True
+                    if use_penalties:
+                        w = windows[i]
+                        if len(w) == penalty_last_n:
+                            counts[i, w[0]] -= 1
+                        w.append(int(tok_np[i]))
+                        counts[i, int(tok_np[i])] += 1
             if done.all():
                 break
             if context_shift and int(jnp.max(positions)) >= self.max_seq:

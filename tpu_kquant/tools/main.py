@@ -19,6 +19,11 @@ def main(argv=None):
     ap.add_argument("--temp", type=float, default=0.0)
     ap.add_argument("--top-k", type=int, default=40)
     ap.add_argument("--top-p", type=float, default=0.95)
+    ap.add_argument("--min-p", type=float, default=0.0)
+    ap.add_argument("--repeat-penalty", type=float, default=1.0)
+    ap.add_argument("--presence-penalty", type=float, default=0.0)
+    ap.add_argument("--frequency-penalty", type=float, default=0.0)
+    ap.add_argument("--repeat-last-n", type=int, default=64)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--impl", default="auto", choices=["auto", "xla", "pallas", "int8"])
     ap.add_argument("--kv-int8", action="store_true", help="INT8 KV cache")
@@ -73,6 +78,10 @@ def main(argv=None):
             top_k=args.top_k, top_p=args.top_p,
             eos_id=getattr(tok, "eos_id", None), seed=args.seed,
             context_shift=args.ctx_shift, n_keep=args.keep,
+            min_p=args.min_p, repeat_penalty=args.repeat_penalty,
+            presence_penalty=args.presence_penalty,
+            frequency_penalty=args.frequency_penalty,
+            penalty_last_n=args.repeat_last_n,
         )[0]
     dt = time.time() - t0
     text = tok.decode(out)
