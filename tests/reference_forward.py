@@ -61,9 +61,15 @@ def ref_forward(reader, cfg, tokens):
     for i in range(cfg.n_layers):
         p = f"blk.{i}."
         h = rms_norm(x, t(p + "attn_norm.weight"), cfg.norm_eps)
-        q = (h @ t(p + "attn_q.weight").T).reshape(T, H, D)
-        k = (h @ t(p + "attn_k.weight").T).reshape(T, Hkv, D)
-        v = (h @ t(p + "attn_v.weight").T).reshape(T, Hkv, D)
+        if p + "attn_qkv.weight" in reader.tensors:  # phi3 pre-fused QKV
+            qkv = h @ t(p + "attn_qkv.weight").T
+            q = qkv[:, : H * D].reshape(T, H, D)
+            k = qkv[:, H * D : (H + Hkv) * D].reshape(T, Hkv, D)
+            v = qkv[:, (H + Hkv) * D :].reshape(T, Hkv, D)
+        else:
+            q = (h @ t(p + "attn_q.weight").T).reshape(T, H, D)
+            k = (h @ t(p + "attn_k.weight").T).reshape(T, Hkv, D)
+            v = (h @ t(p + "attn_v.weight").T).reshape(T, Hkv, D)
         q = rope(q, positions, cfg.rope.freq_base, cfg.rope.mode)
         k = rope(k, positions, cfg.rope.freq_base, cfg.rope.mode)
         G = H // Hkv
@@ -84,8 +90,13 @@ def ref_forward(reader, cfg, tokens):
             h = rms_norm(h, t(p + "post_attention_norm.weight"), cfg.norm_eps)
         x = x + h
         h = rms_norm(x, t(p + "ffn_norm.weight"), cfg.norm_eps)
-        gate = h @ t(p + "ffn_gate.weight").T
-        up = h @ t(p + "ffn_up.weight").T
+        if p + "ffn_gate.weight" in reader.tensors:
+            gate = h @ t(p + "ffn_gate.weight").T
+            up = h @ t(p + "ffn_up.weight").T
+        else:  # phi3 pre-fused gate+up: rows [0,F) gate, [F,2F) up
+            gu = h @ t(p + "ffn_up.weight").T
+            F = cfg.ffn_dim
+            gate, up = gu[:, :F], gu[:, F:]
         h = (act(gate) * up) @ t(p + "ffn_down.weight").T
         if cfg.post_norms:
             h = rms_norm(h, t(p + "post_ffw_norm.weight"), cfg.norm_eps)

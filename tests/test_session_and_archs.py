@@ -75,6 +75,54 @@ def test_qwen2_attention_bias(tmp_path):
     assert not np.allclose(np.asarray(l1), np.asarray(l2), atol=1e-4)
 
 
+def test_phi3_fused_qkv_parity(tmp_path):
+    """phi3: pre-fused QKV + gate_up tensors, neox rope; logits must match the
+    independent NumPy reference forward."""
+    from tests.reference_forward import ref_forward
+
+    path = tmp_path / "p.gguf"
+    cfg = tiny_config(arch="phi3", n_layers=2, dim=64, n_heads=4, n_kv_heads=2,
+                      ffn_dim=128, vocab_size=512)
+    write_fixture_gguf(path, cfg, seed=5, scale=0.08)
+    cfg2, params, reader = load_model(str(path))
+    assert cfg2.arch == "phi3"
+    assert cfg2.rope.mode == "neox"
+    assert "wqkv" in params["layers"][0]
+    assert "w_gateup" in params["layers"][0]
+
+    tokens = [3, 100, 7, 256, 42]
+    eng = InferenceEngine(cfg2, params, max_batch=1, max_seq=64, impl="xla")
+    logits, _, _ = eng.prefill([tokens], eng.new_cache(1))
+    ref = ref_forward(reader, cfg2, np.array(tokens))
+    got, want = np.asarray(logits[0], np.float64), ref[-1]
+    corr = float((got * want).mean()
+                 / np.sqrt((got**2).mean() * (want**2).mean()))
+    assert corr > 0.99, corr
+    assert np.argmax(got) == np.argmax(want)
+
+
+def test_phi3_split_load_matches_fused(tmp_path):
+    """fuse=False (the TP load path) splits attn_qkv / ffn_up by rows; logits
+    must match the fused load bit-for-bit (same packed blocks, same math
+    modulo fused-vs-split matmul associativity)."""
+    path = tmp_path / "p.gguf"
+    cfg = tiny_config(arch="phi3", n_layers=2, dim=64, n_heads=4, n_kv_heads=2,
+                      ffn_dim=128, vocab_size=512)
+    write_fixture_gguf(path, cfg, seed=6, scale=0.08)
+    cfg_f, params_f, _ = load_model(str(path), fuse=True)
+    cfg_s, params_s, _ = load_model(str(path), fuse=False)
+    assert "wq" in params_s["layers"][0] and "w_gate" in params_s["layers"][0]
+
+    tokens = [3, 100, 7, 9]
+    ef = InferenceEngine(cfg_f, params_f, max_batch=1, max_seq=64, impl="xla")
+    es = InferenceEngine(cfg_s, params_s, max_batch=1, max_seq=64, impl="xla")
+    lf, _, _ = ef.prefill([tokens], ef.new_cache(1))
+    ls, _, _ = es.prefill([tokens], es.new_cache(1))
+    np.testing.assert_allclose(np.asarray(lf), np.asarray(ls), rtol=2e-2,
+                               atol=2e-2)
+    assert np.argmax(np.asarray(lf[0])) == np.argmax(np.asarray(ls[0]))
+
+
 def test_sliding_window_attention(tmp_path):
     """SWA must mask tokens beyond the window (Mistral/Gemma2-style)."""
     import jax.numpy as jnp

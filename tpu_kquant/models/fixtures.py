@@ -152,9 +152,12 @@ def write_fixture_gguf(
         if cfg.post_norms:
             add(p + "post_attention_norm.weight", (D,))
             add(p + "post_ffw_norm.weight", (D,))
-        add(p + "attn_q.weight", (H * hd, D))
-        add(p + "attn_k.weight", (Hkv * hd, D))
-        add(p + "attn_v.weight", (Hkv * hd, D))
+        if cfg.arch == "phi3":  # pre-fused QKV, one tensor (HF qkv_proj order)
+            add(p + "attn_qkv.weight", ((H + 2 * Hkv) * hd, D))
+        else:
+            add(p + "attn_q.weight", (H * hd, D))
+            add(p + "attn_k.weight", (Hkv * hd, D))
+            add(p + "attn_v.weight", (Hkv * hd, D))
         if cfg.arch == "qwen2":  # attention biases
             for bn, bd in (("attn_q.bias", H * hd), ("attn_k.bias", Hkv * hd),
                            ("attn_v.bias", Hkv * hd)):
@@ -167,6 +170,9 @@ def write_fixture_gguf(
             add(p + "ffn_gate_exps.weight", (cfg.n_experts, F, D))
             add(p + "ffn_up_exps.weight", (cfg.n_experts, F, D))
             add(p + "ffn_down_exps.weight", (cfg.n_experts, D, F))
+        elif cfg.arch == "phi3":  # pre-fused gate+up (HF gate_up_proj order)
+            add(p + "ffn_up.weight", (2 * F, D))
+            add(p + "ffn_down.weight", (D, F))
         else:
             add(p + "ffn_gate.weight", (F, D))
             add(p + "ffn_up.weight", (F, D))

@@ -50,14 +50,20 @@ def llama_layer(
     H, Hkv, D = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
 
     h = rms_norm(x, _norm_w(layer["attn_norm"]), cfg.norm_eps)
-    if "wqk" in layer:  # fused QK projection (loader.fuse_kmajor)
+    if "wqkv" in layer:  # phi3-style pre-fused QKV (one GGUF tensor)
+        qkv = qmatmul(h, layer["wqkv"], impl)
+        q = qkv[..., : H * D].reshape(B, T, H, D)
+        k = qkv[..., H * D : (H + Hkv) * D].reshape(B, T, Hkv, D)
+        v = qkv[..., (H + Hkv) * D :].reshape(B, T, Hkv, D)
+    elif "wqk" in layer:  # fused QK projection (loader.fuse_kmajor)
         qk = qmatmul(h, layer["wqk"], impl)
         q = qk[..., : H * D].reshape(B, T, H, D)
         k = qk[..., H * D :].reshape(B, T, Hkv, D)
+        v = qmatmul(h, layer["wv"], impl).reshape(B, T, Hkv, D)
     else:
         q = qmatmul(h, layer["wq"], impl).reshape(B, T, H, D)
         k = qmatmul(h, layer["wk"], impl).reshape(B, T, Hkv, D)
-    v = qmatmul(h, layer["wv"], impl).reshape(B, T, Hkv, D)
+        v = qmatmul(h, layer["wv"], impl).reshape(B, T, Hkv, D)
     if cfg.attn_bias:
         q = q + layer["bq"].reshape(H, D)
         k = k + layer["bk"].reshape(Hkv, D)

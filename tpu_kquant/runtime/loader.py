@@ -39,6 +39,20 @@ def _repack_named(r: GGUFReader, name: str, layout: str, scale_dtype=np.float32,
     return pack_scale_pairs(qt) if pack_pairs else qt
 
 
+def _repack_row_slice(r: GGUFReader, name: str, r0: int, r1: int, layout: str,
+                      scale_dtype=np.float32, pack_pairs: bool = False) -> QTensor:
+    """Repack a contiguous row range [r0, r1) of a 2-D GGUF tensor — used to
+    split pre-fused projections (phi3 attn_qkv / ffn_up) into their parts for
+    tensor-parallel loads. GGUF rows are contiguous, so the slice is a pure
+    byte view."""
+    ti = r.tensors[name]
+    N, K = ti.shape
+    raw = r.tensor_bytes(name).reshape(N, -1)[r0:r1]
+    qt = repack(np.ascontiguousarray(raw).reshape(-1), ti.ggml_type,
+                (r1 - r0, K), layout=layout, scale_dtype=scale_dtype)
+    return pack_scale_pairs(qt) if pack_pairs else qt
+
+
 def _expert_split(r: GGUFReader, name: str, scale_dtype=np.float32,
                   pack_pairs: bool = False) -> list[QTensor]:
     """Split a stacked (E, N, K) expert tensor into per-expert kmajor QTensors."""
@@ -136,17 +150,34 @@ def load_model(
         if cfg.post_norms:  # gemma2 post-attention / post-ffn norms
             layer["post_attn_norm"] = rp(p + "post_attention_norm.weight", "dense")
             layer["post_ffn_norm"] = rp(p + "post_ffw_norm.weight", "dense")
-        wq = _repack_named(r, p + "attn_q.weight", "kmajor", scale_dtype, pack_pairs)
-        wk = _repack_named(r, p + "attn_k.weight", "kmajor", scale_dtype, pack_pairs)
-        wv = _repack_named(r, p + "attn_v.weight", "kmajor", scale_dtype, pack_pairs)
-        fused_qk = fuse_kmajor([wq, wk]) if fuse else None
-        if fused_qk is not None:
-            layer["wqk"] = _put(fused_qk, put, p + "attn_qk.weight")
-            layer["wv"] = _put(wv, put, p + "attn_v.weight")
+        if p + "attn_qkv.weight" in r.tensors:
+            # phi3-style pre-fused QKV projection (single GGUF tensor; rows
+            # [0,Q)(Q,Q+KV)(Q+KV,Q+2KV) = q,k,v like HF Phi3Attention.qkv_proj)
+            if fuse:
+                layer["wqkv"] = rp(p + "attn_qkv.weight")
+            else:  # TP: split at head boundaries so shards don't straddle q/k/v
+                nq = cfg.n_heads * cfg.head_dim
+                nkv = cfg.n_kv_heads * cfg.head_dim
+                for wname, tname, a, b in (
+                    ("wq", "attn_q.weight", 0, nq),
+                    ("wk", "attn_k.weight", nq, nq + nkv),
+                    ("wv", "attn_v.weight", nq + nkv, nq + 2 * nkv),
+                ):
+                    qt = _repack_row_slice(r, p + "attn_qkv.weight", a, b,
+                                           "kmajor", scale_dtype, pack_pairs)
+                    layer[wname] = _put(qt, put, p + tname)
         else:
-            layer["wq"] = _put(wq, put, p + "attn_q.weight")
-            layer["wk"] = _put(wk, put, p + "attn_k.weight")
-            layer["wv"] = _put(wv, put, p + "attn_v.weight")
+            wq = _repack_named(r, p + "attn_q.weight", "kmajor", scale_dtype, pack_pairs)
+            wk = _repack_named(r, p + "attn_k.weight", "kmajor", scale_dtype, pack_pairs)
+            wv = _repack_named(r, p + "attn_v.weight", "kmajor", scale_dtype, pack_pairs)
+            fused_qk = fuse_kmajor([wq, wk]) if fuse else None
+            if fused_qk is not None:
+                layer["wqk"] = _put(fused_qk, put, p + "attn_qk.weight")
+                layer["wv"] = _put(wv, put, p + "attn_v.weight")
+            else:
+                layer["wq"] = _put(wq, put, p + "attn_q.weight")
+                layer["wk"] = _put(wk, put, p + "attn_k.weight")
+                layer["wv"] = _put(wv, put, p + "attn_v.weight")
         if cfg.attn_bias:
             for b, nm in (("bq", "attn_q.bias"), ("bk", "attn_k.bias"), ("bv", "attn_v.bias")):
                 layer[b] = jnp.asarray(r.tensor_float(p + nm))
@@ -168,6 +199,20 @@ def load_model(
                 qt = QTensor(qts[0].kind, "kmajor", (len(qts),) + qts[0].shape, arrays)
                 stk[wname] = _put(qt, put, p + tname)
             layer["experts"] = stk
+        elif p + "ffn_gate.weight" not in r.tensors:
+            # phi3-style pre-fused gate+up in ffn_up.weight: rows [0,F) gate,
+            # [F,2F) up (HF Phi3MLP.gate_up_proj ordering)
+            F = cfg.ffn_dim
+            if fuse:
+                layer["w_gateup"] = rp(p + "ffn_up.weight")
+            else:
+                wg = _repack_row_slice(r, p + "ffn_up.weight", 0, F, "kmajor",
+                                       scale_dtype, pack_pairs)
+                wu = _repack_row_slice(r, p + "ffn_up.weight", F, 2 * F, "kmajor",
+                                       scale_dtype, pack_pairs)
+                layer["w_gate"] = _put(wg, put, p + "ffn_gate.weight")
+                layer["w_up"] = _put(wu, put, p + "ffn_up.weight")
+            layer["w_down"] = rp(p + "ffn_down.weight")
         else:
             wg = _repack_named(r, p + "ffn_gate.weight", "kmajor", scale_dtype, pack_pairs)
             wu = _repack_named(r, p + "ffn_up.weight", "kmajor", scale_dtype, pack_pairs)
