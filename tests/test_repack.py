@@ -152,14 +152,16 @@ def test_sm_model_load_generate(tmp_path):
     from tpu_kquant.runtime import InferenceEngine, load_model
 
     path = tmp_path / "sm.gguf"
-    cfg = tiny_config(n_layers=2, dim=64, n_heads=4, n_kv_heads=2, ffn_dim=128,
+    # dim 256 so attention projections quantize as real Q4_K (which carries
+    # mins -> sm packing applies); wo itself widens to q6w (scales only)
+    cfg = tiny_config(n_layers=2, dim=256, n_heads=4, n_kv_heads=2, ffn_dim=128,
                       vocab_size=256, max_seq_len=64)
     write_fixture_gguf(path, cfg, seed=23, quant="q4_k_m", scale=0.08)
 
     cfg1, p1, _ = load_model(str(path))
     cfg2, p2, _ = load_model(str(path), scale_dtype="bf16")
-    assert "sm" in p2["layers"][0]["wo"].arrays
-    assert p2["layers"][0]["wo"].n_bytes < p1["layers"][0]["wo"].n_bytes
+    assert "sm" in p2["layers"][0]["wqk"].arrays
+    assert p2["layers"][0]["wqk"].n_bytes < p1["layers"][0]["wqk"].n_bytes
 
     e1 = InferenceEngine(cfg1, p1, max_batch=1, max_seq=64, impl="xla")
     e2 = InferenceEngine(cfg2, p2, max_batch=1, max_seq=64, impl="xla")
@@ -168,3 +170,64 @@ def test_sm_model_load_generate(tmp_path):
     np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=0.05)
     assert e1.generate([[3, 5, 7]], max_new_tokens=5) == \
            e2.generate([[3, 5, 7]], max_new_tokens=5)
+
+
+def test_widen_q6_bit_exact():
+    """widen_q6: q6 -> int8-code 'q6w' must dequantize BIT-identically
+    (s*q - 32s == s*(q-32) exactly in f32) and drop the mins array."""
+    from tpu_kquant.quant.repack import widen_q6
+
+    N, K = 8, 512
+    x = RNG.standard_normal((N, K)).astype(np.float32)
+    raw = quantize(x, GGMLType.Q6_K)
+    qt = repack(raw, GGMLType.Q6_K, (N, K), layout="kmajor")
+    qw = widen_q6(qt)
+    assert qw.kind == "q6w"
+    assert set(qw.arrays) == {"qs", "scales"}
+    assert qw.arrays["qs"].dtype == np.int8
+    a = np.asarray(dequant_kmajor(qt))
+    b = np.asarray(dequant_kmajor(qw))
+    np.testing.assert_array_equal(a, b)
+    # non-q6 / non-kmajor inputs pass through untouched
+    qt4 = repack(quantize(x, GGMLType.Q4_K), GGMLType.Q4_K, (N, K))
+    assert widen_q6(qt4) is qt4
+
+
+def test_widen_q6_pallas_parity():
+    """Pallas q6w kernel (interpret mode) vs XLA dequant matmul."""
+    from tpu_kquant.ops.pallas_qmm import qmm_pallas
+    from tpu_kquant.quant.repack import widen_q6
+    import jax.numpy as jnp
+
+    N, K, B = 384, 512, 3
+    x = RNG.standard_normal((B, K)).astype(np.float32) * 0.1
+    w = RNG.standard_normal((N, K)).astype(np.float32) * 0.1
+    raw = quantize(w, GGMLType.Q6_K)
+    qw = widen_q6(repack(raw, GGMLType.Q6_K, (N, K), layout="kmajor"))
+    xb = jnp.asarray(x, jnp.bfloat16)
+    got = np.asarray(qmm_pallas(xb, qw, out_dtype=jnp.float32, interpret=True))
+    want = np.asarray(xb.astype(jnp.float32) @ dequant_kmajor(qw, jnp.float32))
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+
+
+def test_widen_q6_model_load(tmp_path):
+    """load_model(widen_q6=True) must produce identical logits to the packed
+    q6 load (bit-exact dequant)."""
+    import jax.numpy as jnp
+    from tpu_kquant.models.fixtures import tiny_config, write_fixture_gguf
+    from tpu_kquant.runtime import InferenceEngine, load_model
+
+    path = tmp_path / "m.gguf"
+    cfg = tiny_config(n_layers=2, dim=512, n_heads=4, n_kv_heads=2,
+                      ffn_dim=512, vocab_size=512)
+    write_fixture_gguf(path, cfg, seed=9, scale=0.08)
+    cfg1, p1, _ = load_model(str(path), widen_q6=False)
+    cfg2, p2, _ = load_model(str(path), widen_q6=True)
+    assert p1["output"].kind == "q6"
+    assert p2["output"].kind == "q6w"
+    e1 = InferenceEngine(cfg1, p1, max_batch=1, max_seq=64, impl="xla")
+    e2 = InferenceEngine(cfg2, p2, max_batch=1, max_seq=64, impl="xla")
+    toks = [3, 100, 7, 9]
+    l1, _, _ = e1.prefill([toks], e1.new_cache(1))
+    l2, _, _ = e2.prefill([toks], e2.new_cache(1))
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))

@@ -41,8 +41,10 @@ def llama_layer(
     impl: str = "auto",
     mesh=None,  # only used by the MoE a2a dispatch (cfg.moe_impl == 'a2a')
     window: "int | jnp.ndarray" = 0,  # sliding window (0/huge = full); may be traced
+    kv_write=None,  # (k, v) -> (k_all, v_all, scales): direct-cache append
+    #                 (unrolled forward); when None, lkv slice flow (lax.scan)
 ):
-    """One transformer block. Returns (x, updated LayerKV)."""
+    """One transformer block. Returns (x, updated LayerKV or None)."""
     # local import: runtime.__init__ imports the engine, which imports us
     from tpu_kquant.runtime.kv_cache import append_layer, layer_scales
 
@@ -72,8 +74,12 @@ def llama_layer(
     q = apply_rope(q, cos[:, :, None, :], sin[:, :, None, :], cfg.rope.mode)
     k = apply_rope(k, cos[:, :, None, :], sin[:, :, None, :], cfg.rope.mode)
 
-    lkv = append_layer(lkv, k, v, positions)
-    attn = attention_decode(q, lkv[0], lkv[1], positions, layer_scales(lkv),
+    if kv_write is not None:
+        k_all, v_all, kv_scales = kv_write(k, v)
+    else:
+        lkv = append_layer(lkv, k, v, positions)
+        k_all, v_all, kv_scales = lkv[0], lkv[1], layer_scales(lkv)
+    attn = attention_decode(q, k_all, v_all, positions, kv_scales,
                             logit_softcap=cfg.attn_logit_softcap,
                             sliding_window=window,
                             impl="xla" if impl == "xla" else "auto")
@@ -161,11 +167,20 @@ def llama_forward(
         x, (k, v, ks, vs) = jax.lax.scan(body, x, xs)
         cache = _KVCache(k, v, ks, vs)
     else:
+        # direct full-cache appends (KVCache.append): the slice -> update ->
+        # set-back round trip is not elided by XLA and measurably slows the
+        # decode step
+        holder = {"cache": cache}
         for i, layer in enumerate(params["layers"]):
-            x, lkv = llama_layer(layer, cfg, x, positions, cos, sin,
-                                 cache.layer(i), impl, mesh,
-                                 window=cfg.layer_window(i))
-            cache = cache.set_layer(i, lkv)
+            def kv_write(k_new, v_new, _i=i):
+                c = holder["cache"].append(_i, k_new, v_new, positions)
+                holder["cache"] = c
+                return c.layer_view(_i)
+
+            x, _ = llama_layer(layer, cfg, x, positions, cos, sin, None,
+                               impl, mesh, window=cfg.layer_window(i),
+                               kv_write=kv_write)
+        cache = holder["cache"]
 
     x = rms_norm(x, _norm_w(params["output_norm"]), cfg.norm_eps)
     if logits_last_only:

@@ -43,7 +43,8 @@ def _pow2_divisor(v: int, cap: int) -> int:
     return t
 
 
-_MIN_K = {"q4": 512, "q5": 2048, "q6": 512, "q2": 512, "q3": 1024, "q8": 256}
+_MIN_K = {"q4": 512, "q5": 2048, "q6": 512, "q2": 512, "q3": 1024, "q8": 256,
+          "q6w": 256}
 
 
 def pallas_supported(kind: str, K: int) -> bool:
@@ -69,7 +70,7 @@ def _codes_for_fold(kind, qs, qh, a, K, hi_fold):
     a: traced element offset of the LO fold of this tile (= k * TK2).
     hi_fold: static — whether this is the k + K/2 fold.
     """
-    if kind == "q8":
+    if kind in ("q8", "q6w"):
         return qs
     if kind in ("q4", "q5", "q6"):
         q4 = (qs >> 4) if hi_fold else (qs & 0xF)
@@ -159,9 +160,9 @@ def _qmm_call(x2d, arrays_tuple, kind, shape, keys, out_dtype, interpret, tn, tb
     has_qh = "qh" in a
     has_sm = "sm" in a
     has_mins = "mins" in a
-    has_hi = kind != "q8"
+    has_hi = kind not in ("q8", "q6w")
 
-    if kind == "q8":
+    if kind in ("q8", "q6w"):
         max_tk2 = K
     elif kind in ("q5", "q3"):
         max_tk2 = K // 8

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 from tpu_kquant.quant.jnp_codecs import dequant_kmajor
 from tpu_kquant.quant.qtensor import QTensor
 
-_PALLAS_KINDS = ("q4", "q5", "q6", "q8", "q2", "q3")
+_PALLAS_KINDS = ("q4", "q5", "q6", "q8", "q2", "q3", "q6w")
 
 
 def _on_tpu() -> bool:

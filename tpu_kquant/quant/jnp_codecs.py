@@ -24,7 +24,7 @@ def _unpack_codes_kmajor(qt: QTensor) -> jnp.ndarray:
     a = qt.arrays
     kind = qt.kind
     ax = -2
-    if kind == "q8":
+    if kind in ("q8", "q6w"):
         return a["qs"]
     if kind in ("q4", "q5", "q6"):
         qs = a["qs"]

@@ -147,8 +147,38 @@ _DECODERS = {
     GGMLType.Q8_0: ("q8", _decode_q8_0),
 }
 
-GROUP_SIZE = {"q2": 16, "q3": 16, "q4": 32, "q5": 32, "q6": 16, "q8": 32}
-CODE_BITS = {"q2": 2, "q3": 3, "q4": 4, "q5": 5, "q6": 6, "q8": 8}
+GROUP_SIZE = {"q2": 16, "q3": 16, "q4": 32, "q5": 32, "q6": 16, "q8": 32,
+              "q6w": 16}
+CODE_BITS = {"q2": 2, "q3": 3, "q4": 4, "q5": 5, "q6": 6, "q8": 8, "q6w": 8}
+
+
+def widen_q6(qt: QTensor) -> QTensor:
+    """q6 kmajor -> 'q6w': codes widened to signed int8 (q - 32), per-16 f32
+    scales, NO mins. Bit-exact: q6 dequant is s*q - 32s = s*(q - 32) and
+    q - 32 ∈ [-32, 31] fits int8.
+
+    Rationale (measured on v5e): decode with packed q6 is VPU-bound — the
+    per-element nibble+2-bit-high unpack plus scale-mul plus min-sub costs
+    ~2.5x more time per byte than q4's unpack, leaving HBM at ~35% utilization
+    on Q6_K tensors (ffn_down, lm head in the Q4_K_M recipe — the reference's
+    q6_K vec-dot is 25.93% of its cycles, SURVEY.md 3.1). Widening trades
+    +2 bits/weight of HBM traffic for ~1/3 the VPU work, moving the kernel
+    back to DMA-bound."""
+    if qt.kind != "q6" or qt.layout != "kmajor":
+        return qt
+    qs = np.asarray(qt.arrays["qs"])
+    qh = np.asarray(qt.arrays["qh"])
+    K2 = qs.shape[-2]
+    K = 2 * K2
+    K4 = K // 4
+    lo = np.concatenate([qs & 0xF, qs >> 4], axis=-2)  # [..., K, N]
+    k = np.arange(K)
+    hi = (np.take(qh, k % K4, axis=-2) >> (2 * (k // K4))[:, None]) & 3
+    codes = (lo | (hi << 4)).astype(np.int16) - 32
+    return QTensor("q6w", "kmajor", qt.shape, {
+        "qs": codes.astype(np.int8),
+        "scales": np.asarray(qt.arrays["scales"]),  # keep caller's scale dtype
+    })
 
 
 def _pack_bits_kmajor(codes_T: np.ndarray, kind: str) -> dict[str, np.ndarray]:

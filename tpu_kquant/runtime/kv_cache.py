@@ -65,13 +65,42 @@ class KVCache:
     # -- update ----------------------------------------------------------------
     def append(
         self,
-        layer_idx: int,
+        layer_idx,
         k_new: jnp.ndarray,  # [B, T, Hkv, D]
         v_new: jnp.ndarray,
         positions: jnp.ndarray,  # [B, T] absolute, contiguous per row
     ) -> "KVCache":
-        lkv = append_layer(self.layer(layer_idx), k_new, v_new, positions)
-        return self.set_layer(layer_idx, lkv)
+        """Direct update-slice into the full [L, B, S, Hkv, D] arrays — no
+        per-layer slice/set-back round trip (which XLA does not elide: it cost
+        ~10% of the measured decode step on the unrolled forward)."""
+        start = positions[:, 0]
+        B = k_new.shape[0]
+
+        # unrolled per-row update-slices (B is static and small): each is a
+        # plain in-place DUS on the donated buffer — no vmap/scatter lowering
+        def upd(full, val):
+            for b in range(B):
+                full = jax.lax.dynamic_update_slice(
+                    full, val[b][None, None], (layer_idx, b, start[b], 0, 0)
+                )
+            return full
+
+        if self.quantized:
+            kq, ks = _quant_i8(k_new)
+            vq, vs = _quant_i8(v_new)
+
+            def upd_s(full, val):
+                for b in range(B):
+                    full = jax.lax.dynamic_update_slice(
+                        full, val[b][None, None], (layer_idx, b, start[b], 0)
+                    )
+                return full
+
+            return KVCache(upd(self.k, kq), upd(self.v, vq),
+                           upd_s(self.k_scale, ks), upd_s(self.v_scale, vs))
+        dt = self.k.dtype
+        return KVCache(upd(self.k, k_new.astype(dt)),
+                       upd(self.v, v_new.astype(dt)), None, None)
 
     def layer(self, layer_idx) -> "LayerKV":
         """Per-layer slice (k [B,S,Hkv,D], v, k_scale|None, v_scale|None).
@@ -106,13 +135,23 @@ class KVCache:
 LayerKV = tuple
 
 
+def _quant_i8(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """INT8 KV quantization: per-(token, head) amax/127 f32 scales."""
+    scale = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1) / 127.0
+    safe = jnp.where(scale > 0, scale, 1.0)
+    q = jnp.round(x.astype(jnp.float32) / safe[..., None])
+    return q.astype(jnp.int8), scale.astype(jnp.float32)
+
+
 def append_layer(
     lkv: LayerKV,
     k_new: jnp.ndarray,  # [B, T, Hkv, D]
     v_new: jnp.ndarray,
     positions: jnp.ndarray,  # [B, T] absolute, contiguous per row
 ) -> LayerKV:
-    """ggml set_rows equivalent on one layer's slice (vmapped update-slice)."""
+    """ggml set_rows equivalent on one layer's slice (vmapped update-slice) —
+    the lax.scan form, where per-layer slices are the natural carry. The
+    unrolled forward uses KVCache.append (direct full-array update) instead."""
     k_l, v_l, ks_l, vs_l = lkv
     start = positions[:, 0]
 
@@ -122,14 +161,8 @@ def append_layer(
         )(cache_l, val, start)
 
     if k_l.dtype == jnp.int8:  # quantized: per-(token, head) f32 scales
-        def quant(x):
-            scale = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1) / 127.0
-            safe = jnp.where(scale > 0, scale, 1.0)
-            q = jnp.round(x.astype(jnp.float32) / safe[..., None])
-            return q.astype(jnp.int8), scale.astype(jnp.float32)
-
-        kq, ks = quant(k_new)
-        vq, vs = quant(v_new)
+        kq, ks = _quant_i8(k_new)
+        vq, vs = _quant_i8(v_new)
 
         def upd_s(cache_l, val):
             return jax.vmap(
