@@ -74,15 +74,20 @@ def llama_layer(
     q = apply_rope(q, cos[:, :, None, :], sin[:, :, None, :], cfg.rope.mode)
     k = apply_rope(k, cos[:, :, None, :], sin[:, :, None, :], cfg.rope.mode)
 
+    ring_last = None
     if kv_write is not None:
-        k_all, v_all, kv_scales = kv_write(k, v)
+        view = kv_write(k, v)
+        k_all, v_all, kv_scales = view[:3]
+        if len(view) == 4:  # iSWA ring layer: last written abs position [B]
+            ring_last = view[3]
     else:
         lkv = append_layer(lkv, k, v, positions)
         k_all, v_all, kv_scales = lkv[0], lkv[1], layer_scales(lkv)
     attn = attention_decode(q, k_all, v_all, positions, kv_scales,
                             logit_softcap=cfg.attn_logit_softcap,
                             sliding_window=window,
-                            impl="xla" if impl == "xla" else "auto")
+                            impl="xla" if impl == "xla" else "auto",
+                            ring_last=ring_last)
     h = qmatmul(attn.reshape(B, T, H * D), layer["wo"], impl)
     if cfg.post_norms:  # gemma2 post-attention norm
         h = rms_norm(h, _norm_w(layer["post_attn_norm"]), cfg.norm_eps)
@@ -131,6 +136,7 @@ def llama_forward(
     logits_last_only: bool = False,
     act_dtype=jnp.bfloat16,
     mesh=None,  # for MoE a2a dispatch only
+    kv_valid=None,  # [B, T] bool: valid (non-pad) slots, iSWA prefill only
 ) -> tuple[jnp.ndarray, KVCache]:
     """Returns (logits [B, T, vocab] (or [B, 1, vocab]), updated cache)."""
     x = dequant_rows(params["tok_embd"], tokens, dtype=act_dtype)
@@ -171,11 +177,19 @@ def llama_forward(
         # set-back round trip is not elided by XLA and measurably slows the
         # decode step
         holder = {"cache": cache}
+        is_iswa = hasattr(cache, "is_ring")
         for i, layer in enumerate(params["layers"]):
             def kv_write(k_new, v_new, _i=i):
-                c = holder["cache"].append(_i, k_new, v_new, positions)
+                if is_iswa:
+                    c = holder["cache"].append(_i, k_new, v_new, positions,
+                                               valid=kv_valid)
+                else:
+                    c = holder["cache"].append(_i, k_new, v_new, positions)
                 holder["cache"] = c
-                return c.layer_view(_i)
+                view = c.layer_view(_i)
+                if is_iswa and c.is_ring(_i):
+                    return (*view, positions[:, -1])  # ring: last abs position
+                return view
 
             x, _ = llama_layer(layer, cfg, x, positions, cos, sin, None,
                                impl, mesh, window=cfg.layer_window(i),

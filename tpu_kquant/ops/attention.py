@@ -30,12 +30,17 @@ def attention_decode(
     logit_softcap: float = 0.0,
     sliding_window: int = 0,
     impl: str = "auto",
+    ring_last: jnp.ndarray | None = None,  # [B] last written abs position
 ) -> jnp.ndarray:
     """Causal GQA attention of T query tokens against S cache slots.
 
     Cache slot j holds absolute position j (ring-free layout); slots beyond a
     sequence's current length hold garbage but are masked because j > q_pos.
     Returns [B, T, H, D] in q.dtype.
+
+    ring_last: when given, the cache is a RING of S slots (iSWA layout,
+    runtime.kv_cache.ISWACache): slot j holds absolute position
+    last - ((last - j) mod S) — the mask is computed from that instead of j.
 
     Dispatch: single-query decode on TPU uses the blockwise flash Pallas
     kernel (ops.pallas_attention); everything else the fused XLA path below.
@@ -48,6 +53,7 @@ def attention_decode(
     static_win = isinstance(sliding_window, int)
     if (
         impl in ("auto", "pallas")
+        and ring_last is None
         and T == 1
         and logit_softcap == 0.0
         and static_win
@@ -86,7 +92,14 @@ def attention_decode(
         logits = jnp.tanh(logits / logit_softcap) * logit_softcap
 
     kv_pos = jax.lax.broadcasted_iota(jnp.int32, (1, 1, S), 2)
+    if ring_last is not None:
+        # ring layout: recover each slot's absolute position from the last
+        # written position (slots hold the last S positions, wrap-around)
+        last = ring_last[:, None, None].astype(jnp.int32)  # [B, 1, 1]
+        kv_pos = last - jnp.mod(last - kv_pos, S)
     mask = kv_pos <= q_positions[:, :, None]  # [B, T, S] causal
+    if ring_last is not None:
+        mask &= kv_pos >= 0  # slots not yet written (early steps)
     if not static_win or sliding_window > 0:
         mask &= kv_pos > q_positions[:, :, None] - sliding_window
     logits = jnp.where(mask[:, :, None, None, :], logits, -jnp.inf)

@@ -48,6 +48,8 @@ class InferenceEngine:
         scan_layers: bool = False,
         forward_fn=None,
         mesh=None,
+        kv_layout: str = "unified",
+        iswa_chunk: int = 512,
     ):
         """scan_layers: stack per-layer params and lax.scan over them — one
         compiled block instead of n_layers inlined copies (compile time and
@@ -55,7 +57,21 @@ class InferenceEngine:
 
         forward_fn: drop-in replacement for models.llama.llama_forward (same
         signature), e.g. parallel.pipeline.make_pp_forward(mesh) — params
-        must then already be in that forward's expected format."""
+        must then already be in that forward's expected format.
+
+        kv_layout: 'unified' (every layer gets max_seq slots) or 'iswa'
+        (sliding-window layers get a ring of window + chunk slots — the
+        llama.cpp llama_kv_cache_unified_iswa equivalent; prompts prefill in
+        ring-sized chunks). 'iswa' requires cfg.sliding_window > 0 and the
+        unrolled forward."""
+        if kv_layout == "iswa":
+            if cfg.sliding_window <= 0:
+                raise ValueError("kv_layout='iswa' needs a sliding-window arch")
+            if scan_layers or forward_fn is not None:
+                raise ValueError("kv_layout='iswa' requires the default "
+                                 "unrolled forward")
+        self.kv_layout = kv_layout
+        self.iswa_chunk = iswa_chunk
         if scan_layers:
             from tpu_kquant.models.llama import stack_layer_params
 
@@ -76,6 +92,14 @@ class InferenceEngine:
             return fwd(params, cfg, tokens, positions, cache, logits_last_only=last_only)
 
         self._step = _step
+
+        @partial(jax.jit, donate_argnums=(3,))
+        def _step_valid(params, tokens, positions, cache, kv_valid):
+            """iSWA prefill step: pad slots must not be written to the rings."""
+            return fwd(params, cfg, tokens, positions, cache,
+                       logits_last_only=False, kv_valid=kv_valid)
+
+        self._step_valid = _step_valid
 
         @partial(jax.jit, donate_argnums=(3,), static_argnums=(4,))
         def _decode_loop(params, first_tok, start_pos, cache, n_steps):
@@ -123,6 +147,19 @@ class InferenceEngine:
         self._shift = _shift
 
     def new_cache(self, batch: int | None = None) -> KVCache:
+        if self.kv_layout == "iswa":
+            from tpu_kquant.runtime.kv_cache import ISWACache
+
+            W = self.cfg.sliding_window
+            # ring = window + a prefill chunk, like llama.cpp's n_swa+n_ubatch
+            ring = min(self.max_seq, -(-(W + self.iswa_chunk) // 16) * 16)
+            windows = [self.cfg.layer_window(i)
+                       for i in range(self.cfg.n_layers)]
+            return ISWACache.create(
+                windows, batch or self.max_batch, self.max_seq, ring,
+                self.cfg.n_kv_heads, self.cfg.head_dim,
+                quantized=self.kv_quantized,
+            )
         return KVCache.create(
             self.cfg.n_layers,
             batch or self.max_batch,
@@ -142,6 +179,8 @@ class InferenceEngine:
             raise ValueError(
                 f"prompt length {int(lens.max())} exceeds max_seq {self.max_seq}"
             )
+        if self.kv_layout == "iswa":
+            return self._prefill_iswa(token_rows, cache, lens)
         T = min(_bucket(int(lens.max())), self.max_seq)
         toks = np.zeros((B, T), np.int32)
         for i, row in enumerate(token_rows):
@@ -153,6 +192,39 @@ class InferenceEngine:
         last = jnp.take_along_axis(logits, jnp.asarray(lens - 1)[:, None, None], axis=1)
         return last[:, 0, :], cache, lens
 
+    def _prefill_iswa(self, token_rows: list[list[int]], cache, lens):
+        """Chunked prefill for the iSWA ring layout: each chunk is at most
+        ring - window tokens, so (a) every query still finds its full window
+        in the ring and (b) a chunk's pad positions can never wrap onto live
+        history (kv_cache.ISWACache.append masks them out with kv_valid)."""
+        B = len(token_rows)
+        W = self.cfg.sliding_window
+        budget = cache.ring - W
+        if budget < PREFILL_BUCKETS[0]:
+            raise ValueError(f"iswa ring {cache.ring} too small for window {W}")
+        C = max(b for b in PREFILL_BUCKETS if b <= budget)
+        maxlen = int(lens.max())
+        last = [None] * B
+        for c0 in range(0, maxlen, C):
+            T = min(_bucket(min(C, maxlen - c0)), C)
+            toks = np.zeros((B, T), np.int32)
+            for i, row in enumerate(token_rows):
+                seg = row[c0 : c0 + T]
+                toks[i, : len(seg)] = seg
+            positions = np.broadcast_to(
+                c0 + np.arange(T, dtype=np.int32), (B, T)
+            ).astype(np.int32)
+            valid = positions < lens[:, None]
+            logits, cache = self._step_valid(
+                self.params, jnp.asarray(toks), jnp.asarray(positions), cache,
+                jnp.asarray(valid),
+            )
+            for i in range(B):
+                e = int(lens[i]) - 1
+                if c0 <= e < c0 + T:
+                    last[i] = logits[i, e - c0, :]
+        return jnp.stack(last), cache, lens
+
     def decode_step(self, tokens: jnp.ndarray, positions: jnp.ndarray, cache: KVCache):
         """tokens [B], positions [B] -> (logits [B, V], cache)."""
         logits, cache = self._step(
@@ -163,6 +235,8 @@ class InferenceEngine:
     def prefill_slot(self, tokens: list[int], cache: KVCache, slot: int):
         """Prefill one request into batch row ``slot``. Returns (last_logits
         [V], cache)."""
+        if self.kv_layout != "unified":
+            raise NotImplementedError("slot prefill requires the unified KV layout")
         if len(tokens) > self.max_seq:
             raise ValueError(f"prompt length {len(tokens)} exceeds max_seq {self.max_seq}")
         T = min(_bucket(len(tokens)), self.max_seq)
@@ -186,6 +260,8 @@ class InferenceEngine:
         slide the tail down (K re-rotated in place). Returns (cache,
         new_positions). Every row must have at least n_keep + n_discard live
         entries, or it would lose tokens it still attends to."""
+        if self.kv_layout != "unified":
+            raise NotImplementedError("context shift requires the unified KV layout")
         positions = np.asarray(positions)
         if int(positions.min()) < n_keep + n_discard:
             raise ValueError(
@@ -201,6 +277,8 @@ class InferenceEngine:
         equivalent: resume generation without re-prefilling).
 
         bf16 arrays are stored as uint16 bit patterns (npz has no bf16)."""
+        if self.kv_layout != "unified":
+            raise NotImplementedError("sessions require the unified KV layout")
         import numpy as np
 
         def enc(x):

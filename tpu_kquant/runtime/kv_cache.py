@@ -135,6 +135,110 @@ class KVCache:
 LayerKV = tuple
 
 
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class ISWACache:
+    """iSWA memory layout: TWO stacked caches — full-attention layers get
+    max_seq slots, sliding-window layers get a RING of ``ring`` slots
+    (slot = position % ring), so their KV memory is bounded by the window
+    instead of the context length.
+
+    The llama.cpp equivalent is llama_kv_cache_unified_iswa (the reference's
+    pluggable memory-context abstraction, SURVEY.md 2.1 "Memory-context
+    abstraction" / 5 "Long-context"). Unrolled-forward only: lax.scan needs
+    homogeneous per-layer shapes.
+    """
+
+    full: KVCache | None  # [L_full, B, S, Hkv, D]
+    swa: KVCache | None   # [L_swa, B, ring, Hkv, D]
+    layer_map: tuple      # static: per model layer ('full'|'swa', index)
+    ring: int             # static: swa ring size
+
+    def tree_flatten(self):
+        return (self.full, self.swa), (self.layer_map, self.ring)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], children[1], aux[0], aux[1])
+
+    @staticmethod
+    def create(windows: list[int], batch: int, max_seq: int, ring: int,
+               n_kv_heads: int, head_dim: int, dtype=jnp.bfloat16,
+               quantized: bool = False) -> "ISWACache":
+        """windows: per-layer sliding window (0 = full attention)."""
+        lmap: list = []
+        nf = ns = 0
+        for w in windows:
+            if w > 0:
+                lmap.append(("swa", ns))
+                ns += 1
+            else:
+                lmap.append(("full", nf))
+                nf += 1
+
+        def mk(n, s):
+            return KVCache.create(n, batch, s, n_kv_heads, head_dim, dtype,
+                                  quantized) if n else None
+
+        return ISWACache(mk(nf, max_seq), mk(ns, ring), tuple(lmap), ring)
+
+    @property
+    def quantized(self) -> bool:
+        c = self.full if self.full is not None else self.swa
+        return c.quantized
+
+    @property
+    def max_seq(self) -> int:
+        return self.full.max_seq if self.full is not None else self.swa.max_seq
+
+    def append(self, layer_idx: int, k_new, v_new, positions,
+               valid=None) -> "ISWACache":
+        """valid [B, T] bool: rows' padding slots must NOT be written to the
+        ring during bucketed prefill — a padded position p > row_len wraps to
+        slot p %% ring, which may hold live in-window history of that row
+        (unlike the unified layout, where pad slots are always overwritten
+        before any query can attend them)."""
+        kind, li = self.layer_map[layer_idx]
+        if kind == "full":
+            return dataclasses.replace(
+                self, full=self.full.append(li, k_new, v_new, positions))
+        T = k_new.shape[1]
+        if T == 1:  # decode: plain in-place update-slices at pos % ring
+            return dataclasses.replace(
+                self, swa=self.swa.append(li, k_new, v_new,
+                                          positions % self.ring))
+        # prefill: the write may wrap the ring -> per-row scatter
+        slots = positions % self.ring  # [B, T]
+        B = k_new.shape[0]
+        b_idx = jnp.arange(B)[:, None]
+        c = self.swa
+
+        def scat(full, val):
+            if valid is not None:  # keep existing content under pad slots
+                cur = full[li, b_idx, slots]
+                v = valid.reshape(valid.shape + (1,) * (val.ndim - 2))
+                val = jnp.where(v, val.astype(cur.dtype), cur)
+            return full.at[li, b_idx, slots].set(val)
+
+        if c.quantized:
+            kq, ks = _quant_i8(k_new)
+            vq, vs = _quant_i8(v_new)
+            swa = KVCache(scat(c.k, kq), scat(c.v, vq),
+                          scat(c.k_scale, ks), scat(c.v_scale, vs))
+        else:
+            dt = c.k.dtype
+            swa = KVCache(scat(c.k, k_new.astype(dt)),
+                          scat(c.v, v_new.astype(dt)), None, None)
+        return dataclasses.replace(self, swa=swa)
+
+    def layer_view(self, layer_idx: int):
+        kind, li = self.layer_map[layer_idx]
+        return (self.full if kind == "full" else self.swa).layer_view(li)
+
+    def is_ring(self, layer_idx: int) -> bool:
+        return self.layer_map[layer_idx][0] == "swa"
+
+
 def _quant_i8(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     """INT8 KV quantization: per-(token, head) amax/127 f32 scales."""
     scale = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1) / 127.0

@@ -27,6 +27,11 @@ def main(argv=None):
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--impl", default="auto", choices=["auto", "xla", "pallas", "int8"])
     ap.add_argument("--kv-int8", action="store_true", help="INT8 KV cache")
+    ap.add_argument("--kv-layout", default="unified",
+                    choices=["unified", "iswa"],
+                    help="iswa: ring-buffer KV for sliding-window layers "
+                         "(llama.cpp unified_iswa equivalent; needs a "
+                         "sliding-window arch)")
     ap.add_argument("--max-seq", type=int, default=None)
     ap.add_argument("--scale-dtype", default="bf16", choices=["bf16", "f32", "f16"])
     ap.add_argument("--ctx-shift", action="store_true",
@@ -56,7 +61,8 @@ def main(argv=None):
     ids = tok.encode(args.prompt, add_bos=True)
     max_seq = args.max_seq or min(cfg.max_seq_len, len(ids) + args.n_tokens + 16)
     eng = InferenceEngine(cfg, params, max_batch=1, max_seq=max_seq,
-                          kv_quantized=args.kv_int8, impl=args.impl)
+                          kv_quantized=args.kv_int8, impl=args.impl,
+                          kv_layout=args.kv_layout)
     t0 = time.time()
     if args.draft is not None:
         from tpu_kquant.runtime.speculative import generate_speculative
