@@ -252,6 +252,14 @@ def _qmm_call(x2d, arrays_tuple, kind, shape, keys, out_dtype, interpret, tn, tb
         # NOTE: measured on v5e — declaring dimension_semantics=("parallel",
         # "parallel", "arbitrary") and/or raising vmem_limit_bytes LOWERS tg128
         # by ~4% (543 -> 521 t/s); Mosaic's defaults pipeline this grid better.
+        compiler_params=(
+            pltpu.CompilerParams(
+                # fuse only the x operand(s)' producers (norms/residuals)
+                allow_input_fusion=[i < (2 if has_hi else 1)
+                                    for i in range(len(inputs))]
+            )
+            if _FUSE_X and not interpret else None
+        ),
         interpret=interpret,
     )(*inputs)
     return y.astype(out_dtype)
@@ -260,6 +268,7 @@ def _qmm_call(x2d, arrays_tuple, kind, shape, keys, out_dtype, interpret, tn, tb
 import os
 
 _TN_DEFAULT = int(os.environ.get("TKQ_TN", "3072"))
+_FUSE_X = os.environ.get("TKQ_FUSE_X", "0") == "1"
 # 512 halves the K-grid depth vs 256 (fewer per-step fixed costs; ffn_down's
 # K=5632 = 512*11 divides exactly): tg128 520 -> 543 t/s measured on v5e
 _TK_DEFAULT = int(os.environ.get("TKQ_TK", "512"))
