@@ -127,3 +127,24 @@ for nm, t in (("attention", t_full - t_na), ("kv write", t_full - t_nw),
               ("lm head", t_full - t_sh)):
     print(f"{nm:18s} {(t)/N_STEPS*1e3:7.3f}")
 print(f"{'full step':18s} {t_full/N_STEPS*1e3:7.3f}")
+
+
+# --- extra variants: XLA-glue attribution (norms / rope / argmax) ---------
+def patch_no_norms(L):
+    L.rms_norm = lambda x, w, eps: x
+
+
+def patch_no_rope(L):
+    L.apply_rope = lambda x, cos, sin, mode: x
+
+
+if "--glue" in sys.argv:
+    import tpu_kquant.models.llama as L
+
+    orig_norm, orig_rope = L.rms_norm, L.apply_rope
+    t_nn = run_variant("no_norms", patch_no_norms)
+    L.rms_norm = orig_norm
+    t_nr = run_variant("no_rope", patch_no_rope)
+    L.apply_rope = orig_rope
+    print(f"norms: {(t_full-t_nn)/N_STEPS*1e3:7.3f} ms/tok")
+    print(f"rope : {(t_full-t_nr)/N_STEPS*1e3:7.3f} ms/tok")
