@@ -87,9 +87,7 @@ def main():
         f"L={cfg.n_layers} dim={cfg.dim} vocab={cfg.vocab_size}")
 
     B = args.batch
-    # pp + 3*tg decode positions per rep: one tg-loop + one 2*tg-loop (the
-    # marginal-rate measurement below)
-    max_seq = min(cfg.max_seq_len, args.pp + 3 * args.tg + 64)
+    max_seq = min(cfg.max_seq_len, args.pp + args.tg + 64)
     eng = InferenceEngine(cfg, params, max_batch=B, max_seq=max_seq, impl=args.impl)
 
     rng = np.random.default_rng(0)
@@ -118,34 +116,35 @@ def main():
 
         # --- tg: fused on-device decode loop (test_gen equivalent; one
         # dispatch for all tg tokens, lax.scan inside jit). The per-token rate
-        # is the MARGINAL rate over loop lengths tg and 2*tg: a fixed
+        # is the MARGINAL rate over loop lengths tg/2 and tg: a fixed
         # per-dispatch cost (the tunneled dev setup adds ~22 ms RTT that a
-        # real TPU VM does not have) cancels in the difference. Wall-clock
-        # rates for both loops are logged alongside. ---
+        # real TPU VM does not have) cancels in the difference. The wall-clock
+        # rate of the full tg loop is logged alongside. ---
+        half = args.tg // 2
         tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         pos = jnp.asarray(lens)
         if rep == 0:  # compile both loop lengths, then restart from a fresh
             # prefill so timed decodes run at the same positions every rep
-            toks, cache = eng.decode_greedy_jit(tok, pos, cache, args.tg)
+            toks, cache = eng.decode_greedy_jit(tok, pos, cache, half)
             _sync(toks)
             toks, cache = eng.decode_greedy_jit(
-                toks[:, -1], pos + args.tg, cache, 2 * args.tg)
+                toks[:, -1], pos + half, cache, args.tg)
             _sync(toks)
             cache = eng.new_cache(B)
             logits, cache, lens = eng.prefill(rows, cache)
             tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
             pos = jnp.asarray(lens)
         t0 = time.time()
-        toks, cache = eng.decode_greedy_jit(tok, pos, cache, args.tg)
+        toks, cache = eng.decode_greedy_jit(tok, pos, cache, half)
         _sync(toks)
         t1 = time.time() - t0
         t0 = time.time()
         toks, cache = eng.decode_greedy_jit(
-            toks[:, -1], pos + args.tg, cache, 2 * args.tg)
+            toks[:, -1], pos + half, cache, args.tg)
         _sync(toks)
         t2 = time.time() - t0
-        tg_wall = args.tg * B / t1
-        tg_tps = args.tg * B / max(t2 - t1, 1e-9)
+        tg_wall = args.tg * B / t2
+        tg_tps = (args.tg - half) * B / max(t2 - t1, 1e-9)
         log(f"rep {rep}: pp{args.pp} {pp_tps:8.1f} t/s   tg{args.tg} "
             f"{tg_tps:8.1f} t/s marginal ({tg_wall:.1f} wall incl. dispatch)")
         results.setdefault("pp", []).append(pp_tps)
@@ -160,7 +159,7 @@ def main():
         from tpu_kquant.utils.roofline import roofline_report
 
         rep = roofline_report(params, cfg, tg, chip="v5e", batch=B,
-                              seq_len=int(args.pp + 1.5 * args.tg))
+                              seq_len=args.pp + args.tg)
         log(f"roofline: {rep['bytes_per_step']/1e6:.0f} MB/step -> "
             f"{rep['roofline_tok_s']:.0f} tok/s ceiling; measured "
             f"{tg:.0f} = {rep['fraction_of_roofline']*100:.0f}% of v5e roofline")
