@@ -93,6 +93,17 @@ def llama_layer(
         h = rms_norm(h, _norm_w(layer["post_attn_norm"]), cfg.norm_eps)
     x = x + h
 
+    if (not cfg.is_moe and not cfg.post_norms and "w_gateup" in layer):
+        from tpu_kquant.ops.pallas_ffn import fused_ffn, fused_ffn_enabled
+
+        if fused_ffn_enabled(impl, layer["w_gateup"], layer["w_down"], B * T):
+            x = fused_ffn(
+                x, _norm_w(layer["ffn_norm"]), cfg.norm_eps,
+                layer["w_gateup"], layer["w_down"],
+                act_fn="gelu" if cfg.act_fn == "gelu" else "silu",
+            )
+            return x, lkv
+
     h = rms_norm(x, _norm_w(layer["ffn_norm"]), cfg.norm_eps)
     act = geglu if cfg.act_fn == "gelu" else swiglu
     if cfg.is_moe:

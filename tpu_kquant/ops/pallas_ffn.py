@@ -1,0 +1,281 @@
+"""Fused FFN-block Pallas megakernel: rms_norm -> gate/up qmatmul -> gated
+activation -> down qmatmul -> residual add, in ONE kernel launch.
+
+Why: the decode step is HBM-bound, but its wall time was dominated by
+per-op fixed costs — ~14 XLA/Pallas dispatches per layer at a few us each
+(measured via tools_ablate_decode.py: norms alone 0.107 ms/tok, rope 0.149).
+The reference pays the analogous cost in ggml graph-node dispatch
+(SURVEY.md 3.1: ggml_compute_forward per node); on TPU the fix is fusing the
+whole block into one pallas_call whose grid pipelines the two matmuls:
+
+  grid step j: fetch gate/up column-chunk j AND down row-chunk j,
+               act_j = silu(x_n @ Wg_j) * (x_n @ Wu_j)     [R, TF]
+               acc  += act_j @ Wdown_j                      [R, D]
+
+Because swiglu is elementwise on the F axis and the down projection contracts
+over F, chunk j of gate/up feeds chunk j of down directly — the two matmuls
+pipeline with NO phase barrier, and Mosaic's automatic double-buffering
+overlaps every weight fetch with the previous chunk's compute. Weight bytes
+stream HBM->VMEM exactly once (same as ops.pallas_qmm), but five ops' worth
+of dispatch overhead collapses into one.
+
+Supported packed layouts (quant/repack.py conventions):
+  gate+up (fused w_gateup, shape [2F, D]): q4 folded (sm pairs or f32
+    scales+mins), q6w, q8
+  down (shape [D, F]): q6w, q8 (flat codes; folded kinds would interleave
+    the F axis between chunks — those fall back to the unfused path)
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpu_kquant.quant.qtensor import QTensor
+from tpu_kquant.quant.repack import GROUP_SIZE
+
+_FLAT_KINDS = ("q6w", "q8")  # codes stored [K, N], no bit-fold on K
+
+
+def _pick_tf(F: int, cap: int = 1024) -> int:
+    """Largest divisor of F that is a multiple of 256 and <= cap."""
+    best = 0
+    t = 256
+    while t <= cap:
+        if F % t == 0:
+            best = t
+        t += 256
+    return best
+
+
+def fused_ffn_enabled(impl: str, gu: QTensor, dn: QTensor, rows: int) -> bool:
+    """Dispatch gate for models.llama: fused block only where the Pallas
+    path would run anyway (TPU, or interpret mode forced for tests)."""
+    import os
+
+    if os.environ.get("TKQ_FUSE_FFN", "1") != "1":
+        return False
+    if impl not in ("auto", "pallas", "int8"):
+        return False
+    if not ffn_supported(gu, dn, rows):
+        return False
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:  # pragma: no cover
+        return False
+
+
+def ffn_supported(gu: QTensor, dn: QTensor, rows: int) -> bool:
+    if gu.layout != "kmajor" or dn.layout != "kmajor":
+        return False
+    if rows > 32:  # prefill shapes: the plain batched kernels win
+        return False
+    D = gu.shape[-1]
+    F = dn.shape[-1]
+    if gu.shape[0] != 2 * F or dn.shape[0] != D:
+        return False
+    if dn.kind not in _FLAT_KINDS:
+        return False
+    if gu.kind not in ("q4",) + _FLAT_KINDS:
+        return False
+    if D % 512 or _pick_tf(F) == 0:
+        return False
+    return True
+
+
+def _decode_sm(sm_block):
+    """Packed bf16 (scale, min) pairs in an f32 container -> (s, m) f32."""
+    bits = jax.lax.bitcast_convert_type(sm_block, jnp.int32)
+    s = jax.lax.bitcast_convert_type(bits << 16, jnp.float32)
+    m = jax.lax.bitcast_convert_type(bits & jnp.int32(-65536), jnp.float32)
+    return s, m
+
+
+def _ffn_kernel(gu_kind, dn_kind, gu_sm, gu_mins, D, F, TF, nf, eps, act_fn,
+                *refs):
+    it = iter(refs)
+    x_ref = next(it)
+    nw_ref = next(it)
+    g_qs = next(it)
+    u_qs = next(it)
+    g_s = next(it)
+    u_s = next(it)
+    g_m = next(it) if gu_mins else None
+    u_m = next(it) if gu_mins else None
+    d_qs = next(it)
+    d_s = next(it)
+    o_ref = next(it)
+    acc = next(it)
+
+    j = pl.program_id(0)
+
+    @pl.when(j == 0)
+    def _():
+        acc[:] = jnp.zeros_like(acc)
+
+    # rms_norm recomputed per step (R*D VPU flops — noise next to the DMA)
+    xf = x_ref[:].astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    xn = (xf * jax.lax.rsqrt(var + eps) * nw_ref[:].astype(jnp.float32)
+          ).astype(jnp.bfloat16)
+
+    def gu_matmul(qs_ref, s_ref, m_ref):
+        """x_n @ dequant(W_chunk) -> [R, TF] f32."""
+        g = GROUP_SIZE[gu_kind]
+        if gu_kind in _FLAT_KINDS:
+            q = qs_ref[:].astype(jnp.float32)
+            w = q * jnp.repeat(s_ref[:].astype(jnp.float32), g, axis=0)
+            if m_ref is not None:
+                w = w - jnp.repeat(m_ref[:].astype(jnp.float32), g, axis=0)
+            return jax.lax.dot_general(
+                xn, w.astype(jnp.bfloat16),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        # q4 folded: packed row k carries elements k (lo) and k + D/2 (hi)
+        qs = qs_ref[:].astype(jnp.int32)
+        if gu_sm:
+            s_all, m_all = _decode_sm(s_ref[:])
+        else:
+            s_all = s_ref[:].astype(jnp.float32)
+            m_all = m_ref[:].astype(jnp.float32) if m_ref is not None else None
+        half_g = (D // 2) // g
+        out = None
+        for hi, xs in ((False, xn[:, : D // 2]), (True, xn[:, D // 2 :])):
+            q = ((qs >> 4) if hi else (qs & 0xF)).astype(jnp.float32)
+            sl = slice(half_g, None) if hi else slice(0, half_g)
+            w = q * jnp.repeat(s_all[sl], g, axis=0)
+            if m_all is not None:
+                w = w - jnp.repeat(m_all[sl], g, axis=0)
+            d = jax.lax.dot_general(
+                xs, w.astype(jnp.bfloat16),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            out = d if out is None else out + d
+        return out
+
+    gate = gu_matmul(g_qs, g_s, g_m).astype(jnp.bfloat16).astype(jnp.float32)
+    up = gu_matmul(u_qs, u_s, u_m).astype(jnp.bfloat16).astype(jnp.float32)
+    if act_fn == "gelu":
+        a = jax.nn.gelu(gate, approximate=False) * up
+    else:
+        a = jax.nn.silu(gate) * up
+    a = a.astype(jnp.bfloat16)
+
+    # down chunk: rows [j*TF, (j+1)*TF) of the flat [F, D] codes
+    gd = GROUP_SIZE[dn_kind]
+    wd = (d_qs[:].astype(jnp.float32)
+          * jnp.repeat(d_s[:].astype(jnp.float32), gd, axis=0))
+    acc[:] = acc[:] + jax.lax.dot_general(
+        a, wd.astype(jnp.bfloat16),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(j == nf - 1)
+    def _():
+        o_ref[:] = (x_ref[:].astype(jnp.float32) + acc[:]).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("gu_kind", "dn_kind", "gu_keys", "dn_keys", "D", "F",
+                     "eps", "act_fn", "out_dtype", "interpret", "tf"),
+)
+def _ffn_call(x2d, norm_w, gu_arrays, dn_arrays, gu_kind, dn_kind, gu_keys,
+              dn_keys, D, F, eps, act_fn, out_dtype, interpret, tf):
+    gu = dict(zip(gu_keys, gu_arrays))
+    dn = dict(zip(dn_keys, dn_arrays))
+    R = x2d.shape[0]
+    TF = tf or _pick_tf(F)
+    nf = F // TF
+    gu_sm = "sm" in gu
+    gu_mins = "mins" in gu
+    g4 = GROUP_SIZE[gu_kind]
+    gd = GROUP_SIZE[dn_kind]
+
+    x_spec = pl.BlockSpec((R, D), lambda j: (0, 0), memory_space=pltpu.VMEM)
+    nw_spec = pl.BlockSpec((1, D), lambda j: (0, 0), memory_space=pltpu.VMEM)
+
+    # gate/up packed code blocks: column-chunk j (gate) and F//TF + j (up)
+    qs_rows = gu["qs"].shape[0]  # D/2 folded, D flat
+    gqs_spec = pl.BlockSpec((qs_rows, TF), lambda j: (0, j),
+                            memory_space=pltpu.VMEM)
+    uqs_spec = pl.BlockSpec((qs_rows, TF), lambda j: (0, F // TF + j),
+                            memory_space=pltpu.VMEM)
+    s_key = "sm" if gu_sm else "scales"
+    s_rows = gu[s_key].shape[0]  # D/g
+    gs_spec = pl.BlockSpec((s_rows, TF), lambda j: (0, j),
+                           memory_space=pltpu.VMEM)
+    us_spec = pl.BlockSpec((s_rows, TF), lambda j: (0, F // TF + j),
+                           memory_space=pltpu.VMEM)
+
+    in_specs = [x_spec, nw_spec, gqs_spec, uqs_spec, gs_spec, us_spec]
+    inputs = [x2d, norm_w.reshape(1, D), gu["qs"], gu["qs"], gu[s_key],
+              gu[s_key]]
+    if gu_mins:
+        in_specs += [gs_spec, us_spec]
+        inputs += [gu["mins"], gu["mins"]]
+
+    in_specs.append(pl.BlockSpec((TF, D), lambda j: (j, 0),
+                                 memory_space=pltpu.VMEM))
+    inputs.append(dn["qs"])
+    in_specs.append(pl.BlockSpec((TF // gd, D), lambda j: (j, 0),
+                                 memory_space=pltpu.VMEM))
+    inputs.append(dn["scales"])
+
+    kernel = functools.partial(_ffn_kernel, gu_kind, dn_kind, gu_sm, gu_mins,
+                               D, F, TF, nf, eps, act_fn)
+    bytes_accessed = (
+        sum(v.size * v.dtype.itemsize for v in gu.values())
+        + sum(v.size * v.dtype.itemsize for v in dn.values())
+        + 4 * R * D * 2
+    )
+    y = pl.pallas_call(
+        kernel,
+        grid=(nf,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((R, D), lambda j: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((R, D), jnp.dtype(out_dtype)),
+        scratch_shapes=[pltpu.VMEM((R, D), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * R * D * 3 * F, bytes_accessed=bytes_accessed,
+            transcendentals=R * F,
+        ),
+        interpret=interpret,
+    )(*inputs)
+    return y
+
+
+def fused_ffn(
+    x: jnp.ndarray,  # [..., D] residual stream
+    norm_w: jnp.ndarray,  # [D]
+    eps: float,
+    gu: QTensor,  # fused gate+up [2F, D]
+    dn: QTensor,  # down [D, F]
+    act_fn: str = "silu",
+    out_dtype=None,
+    interpret: bool = False,
+    tf: int | None = None,
+) -> jnp.ndarray:
+    """x + down(act(gate(x_n), up(x_n))) with x_n = rms_norm(x, norm_w)."""
+    out_dtype = out_dtype or x.dtype
+    D = x.shape[-1]
+    F = dn.shape[-1]
+    lead = x.shape[:-1]
+    x2d = x.reshape(-1, D)
+    gu_keys = tuple(sorted(gu.arrays))
+    dn_keys = tuple(sorted(dn.arrays))
+    y = _ffn_call(
+        x2d, norm_w, tuple(gu.arrays[k] for k in gu_keys),
+        tuple(dn.arrays[k] for k in dn_keys), gu.kind, dn.kind, gu_keys,
+        dn_keys, D, F, float(eps), act_fn, jnp.dtype(out_dtype).name,
+        interpret, tf,
+    )
+    return y.reshape(*lead, D)
