@@ -53,6 +53,12 @@ def ref_forward(reader, cfg, tokens):
     gemma2 post-norms / softcaps / alternating sliding window, GeGLU, tied
     embeddings."""
     t = lambda name: reader.tensor_float(name).astype(np.float64)
+    # raw-GGUF rope pairing: the engine loader canonicalizes NORM-mode models
+    # to NEOX by permuting q/k weights, but this reference reads the raw
+    # on-disk weights, so it must use the on-disk pairing
+    from tpu_kquant.models.config import ModelConfig
+
+    raw_mode = ModelConfig.from_gguf(reader.metadata).rope.mode
     T = len(tokens)
     positions = np.arange(T, dtype=np.float64)
     x = t("token_embd.weight")[tokens] * cfg.embed_scale
@@ -70,8 +76,8 @@ def ref_forward(reader, cfg, tokens):
             q = (h @ t(p + "attn_q.weight").T).reshape(T, H, D)
             k = (h @ t(p + "attn_k.weight").T).reshape(T, Hkv, D)
             v = (h @ t(p + "attn_v.weight").T).reshape(T, Hkv, D)
-        q = rope(q, positions, cfg.rope.freq_base, cfg.rope.mode)
-        k = rope(k, positions, cfg.rope.freq_base, cfg.rope.mode)
+        q = rope(q, positions, cfg.rope.freq_base, raw_mode)
+        k = rope(k, positions, cfg.rope.freq_base, raw_mode)
         G = H // Hkv
         k_rep = np.repeat(k, G, axis=1)  # [T, H, D]
         v_rep = np.repeat(v, G, axis=1)

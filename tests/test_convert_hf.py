@@ -43,7 +43,7 @@ def test_convert_and_logit_parity(hf_checkpoint, tmp_path):
     convert(hf_dir, out, recipe="f16", verbose=False)
 
     cfg, params, reader = load_model(out)
-    assert cfg.n_layers == 2 and cfg.n_kv_heads == 2 and cfg.rope.mode == "norm"
+    assert cfg.n_layers == 2 and cfg.n_kv_heads == 2 and cfg.rope.mode == "neox"  # loader canonicalizes norm -> neox
 
     tokens = [3, 100, 7, 256, 42, 9]
     with torch.no_grad():

@@ -54,3 +54,42 @@ def test_yarn_rope_differs_from_plain():
     assert not np.allclose(np.asarray(c0), np.asarray(c1))
     # yarn attn mscale amplifies magnitude
     assert np.abs(np.asarray(c1)).max() > 1.0
+
+
+def test_rope_neox_canonicalization_identity():
+    """loader._rope_neox_perm: rope_norm(x @ W.T) == inv_perm(rope_neox(x @ W[perm].T))
+    and QK^T is invariant when both q and k carry the permutation."""
+    import numpy as np
+
+    from tpu_kquant.ops.rope import RopeParams, apply_rope, rope_cos_sin
+    from tpu_kquant.runtime.loader import _rope_neox_perm
+
+    rng = np.random.default_rng(3)
+    H, D = 3, 16
+    T = 5
+    W = rng.standard_normal((H * D, 64)).astype(np.float32)
+    x = rng.standard_normal((1, T, 64)).astype(np.float32)
+    pos = jnp.arange(T, dtype=jnp.int32)[None]
+    p = RopeParams(head_dim=D, n_rot=D)
+    cos, sin = rope_cos_sin(pos, p)
+
+    perm = _rope_neox_perm(H * D, D)
+    y = (x @ W.T).reshape(1, T, H, D)
+    yp = (x @ W[perm].T).reshape(1, T, H, D)
+    r_norm = np.asarray(apply_rope(jnp.asarray(y), cos[:, :, None], sin[:, :, None], "norm"))
+    r_neox = np.asarray(apply_rope(jnp.asarray(yp), cos[:, :, None], sin[:, :, None], "neox"))
+    inv = np.argsort(perm)
+    np.testing.assert_allclose(
+        r_neox.reshape(1, T, H * D)[..., inv], r_norm.reshape(1, T, H * D),
+        rtol=1e-5, atol=1e-5,
+    )
+    # QK^T invariance: a shared per-head permutation of q and k leaves the
+    # attention logits unchanged
+    kflat = rng.standard_normal((T, H * D)).astype(np.float32)
+    qk_ref = np.einsum(
+        "thd,shd->hts", r_norm[0], kflat.reshape(T, H, D)
+    )
+    qk_perm = np.einsum(
+        "thd,shd->hts", r_neox[0], kflat[:, perm].reshape(T, H, D)
+    )
+    np.testing.assert_allclose(qk_perm, qk_ref, rtol=1e-4, atol=1e-4)

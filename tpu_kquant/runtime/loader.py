@@ -75,6 +75,41 @@ def _expert_split(r: GGUFReader, name: str, scale_dtype=np.float32,
     return [pack_scale_pairs(q) for q in qts] if pack_pairs else qts
 
 
+def _rope_neox_perm(n_feats: int, head_dim: int) -> np.ndarray:
+    """Per-head un-interleave: output-feature permutation turning ggml NORM
+    rope pairing (adjacent (2i, 2i+1)) into NEOX pairing (split halves
+    (i, i + D/2)).
+
+    Applying this to the q/k projection OUTPUT features (and therefore to the
+    cached K) leaves attention invariant — QK^T contracts over head_dim, and
+    both operands carry the same per-head permutation — while making the
+    rotation a half-rotate, which is both cheaper in XLA and fusable into a
+    Pallas matmul epilogue (a lane roll instead of an even/odd interleave).
+    This inverts llama.cpp's convert-time `permute` (reference SURVEY.md:
+    llama/mistral GGUF exports store q/k in Meta layout for NORM mode)."""
+    within = np.concatenate(
+        [np.arange(0, head_dim, 2), np.arange(1, head_dim, 2)]
+    )
+    base = np.arange(0, n_feats, head_dim)
+    return (base[:, None] + within[None, :]).reshape(-1)
+
+
+def permute_out_features(qt: QTensor, perm: np.ndarray) -> QTensor:
+    """Reorder a weight's output features. kmajor packed arrays all carry N
+    as the last axis (qs/qh/scales/mins/sm), so this never touches the packed
+    bit layout; dense tensors carry N first."""
+    if qt.layout == "kmajor":
+        arrays = {
+            k: np.ascontiguousarray(np.asarray(v)[:, perm])
+            for k, v in qt.arrays.items()
+        }
+    elif qt.layout == "dense":
+        arrays = {"w": np.ascontiguousarray(np.asarray(qt.arrays["w"])[perm])}
+    else:
+        raise ValueError(f"cannot permute layout {qt.layout!r}")
+    return QTensor(qt.kind, qt.layout, qt.shape, arrays)
+
+
 def fuse_kmajor(qts: list[QTensor]) -> QTensor | None:
     """Concatenate same-kind kmajor QTensors along N (fused QK / gate+up
     projections — one kernel launch instead of two on the decode path)."""
@@ -138,6 +173,21 @@ def load_model(
     if fuse is None:
         fuse = getattr(put, "tp_size", 1) == 1
 
+    # canonicalize NORM-mode rope to NEOX by permuting q/k output features
+    # (see _rope_neox_perm): everything downstream — runtime rope, KV cache,
+    # context-shift re-rotation, Pallas epilogues — sees one pairing
+    canon_rope = (
+        cfg.rope.mode == "norm"
+        and cfg.rope.n_rot == cfg.head_dim
+        and cfg.head_dim % 2 == 0
+    )
+    if canon_rope:
+        cfg = dataclasses.replace(
+            cfg, rope=dataclasses.replace(cfg.rope, mode="neox")
+        )
+        q_perm = _rope_neox_perm(cfg.n_heads * cfg.head_dim, cfg.head_dim)
+        k_perm = _rope_neox_perm(cfg.n_kv_heads * cfg.head_dim, cfg.head_dim)
+
     def rp(name: str, layout: str = "kmajor") -> QTensor:
         return _put(
             _repack_named(r, name, layout, scale_dtype, pack_pairs, widen_q6),
@@ -168,19 +218,28 @@ def load_model(
         if p + "attn_qkv.weight" in r.tensors:
             # phi3-style pre-fused QKV projection (single GGUF tensor; rows
             # [0,Q)(Q,Q+KV)(Q+KV,Q+2KV) = q,k,v like HF Phi3Attention.qkv_proj)
+            nq = cfg.n_heads * cfg.head_dim
+            nkv = cfg.n_kv_heads * cfg.head_dim
             if fuse:
-                layer["wqkv"] = rp(p + "attn_qkv.weight")
+                wqkv = _repack_named(r, p + "attn_qkv.weight", "kmajor",
+                                     scale_dtype, pack_pairs, widen_q6)
+                if canon_rope:
+                    perm = np.concatenate(
+                        [q_perm, nq + k_perm, nq + nkv + np.arange(nkv)]
+                    )
+                    wqkv = permute_out_features(wqkv, perm)
+                layer["wqkv"] = _put(wqkv, put, p + "attn_qkv.weight")
             else:  # TP: split at head boundaries so shards don't straddle q/k/v
-                nq = cfg.n_heads * cfg.head_dim
-                nkv = cfg.n_kv_heads * cfg.head_dim
-                for wname, tname, a, b in (
-                    ("wq", "attn_q.weight", 0, nq),
-                    ("wk", "attn_k.weight", nq, nq + nkv),
-                    ("wv", "attn_v.weight", nq + nkv, nq + 2 * nkv),
+                for wname, tname, a, b, perm in (
+                    ("wq", "attn_q.weight", 0, nq, q_perm if canon_rope else None),
+                    ("wk", "attn_k.weight", nq, nq + nkv, k_perm if canon_rope else None),
+                    ("wv", "attn_v.weight", nq + nkv, nq + 2 * nkv, None),
                 ):
                     qt = _repack_row_slice(r, p + "attn_qkv.weight", a, b,
                                            "kmajor", scale_dtype, pack_pairs,
                                            widen_q6)
+                    if perm is not None:
+                        qt = permute_out_features(qt, perm)
                     layer[wname] = _put(qt, put, p + tname)
         else:
             wq = _repack_named(r, p + "attn_q.weight", "kmajor", scale_dtype,
@@ -189,6 +248,9 @@ def load_model(
                                pack_pairs, widen_q6)
             wv = _repack_named(r, p + "attn_v.weight", "kmajor", scale_dtype,
                                pack_pairs, widen_q6)
+            if canon_rope:
+                wq = permute_out_features(wq, q_perm)
+                wk = permute_out_features(wk, k_perm)
             fused_qk = fuse_kmajor([wq, wk]) if fuse else None
             if fused_qk is not None:
                 layer["wqk"] = _put(fused_qk, put, p + "attn_qk.weight")
@@ -199,7 +261,12 @@ def load_model(
                 layer["wv"] = _put(wv, put, p + "attn_v.weight")
         if cfg.attn_bias:
             for b, nm in (("bq", "attn_q.bias"), ("bk", "attn_k.bias"), ("bv", "attn_v.bias")):
-                layer[b] = jnp.asarray(r.tensor_float(p + nm))
+                bias = r.tensor_float(p + nm)
+                if canon_rope and b == "bq":
+                    bias = bias[q_perm]
+                elif canon_rope and b == "bk":
+                    bias = bias[k_perm]
+                layer[b] = jnp.asarray(bias)
         if cfg.is_moe:
             layer["gate_inp"] = rp(p + "ffn_gate_inp.weight")
             # experts stored STACKED [E, ...]: shardable over the 'expert'
