@@ -51,28 +51,63 @@ def llama_layer(
     B, T, _ = x.shape
     H, Hkv, D = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
 
-    h = rms_norm(x, _norm_w(layer["attn_norm"]), cfg.norm_eps)
-    if "wqkv" in layer:  # phi3-style pre-fused QKV (one GGUF tensor)
-        qkv = qmatmul(h, layer["wqkv"], impl)
-        q = qkv[..., : H * D].reshape(B, T, H, D)
-        k = qkv[..., H * D : (H + Hkv) * D].reshape(B, T, Hkv, D)
-        v = qkv[..., (H + Hkv) * D :].reshape(B, T, Hkv, D)
-    elif "wqk" in layer:  # fused QK projection (loader.fuse_kmajor)
-        qk = qmatmul(h, layer["wqk"], impl)
-        q = qk[..., : H * D].reshape(B, T, H, D)
-        k = qk[..., H * D :].reshape(B, T, Hkv, D)
-        v = qmatmul(h, layer["wv"], impl).reshape(B, T, Hkv, D)
-    else:
-        q = qmatmul(h, layer["wq"], impl).reshape(B, T, H, D)
-        k = qmatmul(h, layer["wk"], impl).reshape(B, T, Hkv, D)
-        v = qmatmul(h, layer["wv"], impl).reshape(B, T, Hkv, D)
-    if cfg.attn_bias:
-        q = q + layer["bq"].reshape(H, D)
-        k = k + layer["bk"].reshape(Hkv, D)
-        v = v + layer["bv"].reshape(Hkv, D)
+    # fused attention-input megakernel: norm + Q/K/V matmuls + rope in one
+    # launch (decode shapes on TPU; requires the loader's NEOX-canonical rope)
+    fused_in = None
+    if cfg.rope.mode == "neox" and cfg.rope.n_rot == D and (
+            "wqk" in layer or "wqkv" in layer):
+        from tpu_kquant.ops.pallas_attn_in import (
+            attn_in_enabled, fused_attn_in, rope_tables_full)
 
-    q = apply_rope(q, cos[:, :, None, :], sin[:, :, None, :], cfg.rope.mode)
-    k = apply_rope(k, cos[:, :, None, :], sin[:, :, None, :], cfg.rope.mode)
+        ws = [layer["wqkv"]] if "wqkv" in layer else [layer["wqk"], layer["wv"]]
+        if attn_in_enabled(impl, ws, B * T, x.shape[-1]):
+            fused_in = (ws, fused_attn_in, rope_tables_full)
+
+    if fused_in is not None:
+        ws, _fused, _tables = fused_in
+        n_pad = Hkv * D if "wqkv" in layer else 0
+        cf, sf = _tables(cos, sin, H + Hkv, D, n_pad=n_pad)
+        if cfg.attn_bias:
+            bqk = jnp.concatenate([layer["bq"], layer["bk"]])
+            biases = ([jnp.concatenate([bqk, layer["bv"]])]
+                      if "wqkv" in layer else [bqk, layer["bv"]])
+        else:
+            biases = None
+        outs = _fused(x, _norm_w(layer["attn_norm"]), cfg.norm_eps, ws,
+                      cf, sf, D // 2, biases=biases)
+        if "wqkv" in layer:
+            qkv = outs[0]
+            q = qkv[..., : H * D].reshape(B, T, H, D)
+            k = qkv[..., H * D : (H + Hkv) * D].reshape(B, T, Hkv, D)
+            v = qkv[..., (H + Hkv) * D :].reshape(B, T, Hkv, D)
+        else:
+            qk, vout = outs
+            q = qk[..., : H * D].reshape(B, T, H, D)
+            k = qk[..., H * D :].reshape(B, T, Hkv, D)
+            v = vout.reshape(B, T, Hkv, D)
+    else:
+        h = rms_norm(x, _norm_w(layer["attn_norm"]), cfg.norm_eps)
+        if "wqkv" in layer:  # phi3-style pre-fused QKV (one GGUF tensor)
+            qkv = qmatmul(h, layer["wqkv"], impl)
+            q = qkv[..., : H * D].reshape(B, T, H, D)
+            k = qkv[..., H * D : (H + Hkv) * D].reshape(B, T, Hkv, D)
+            v = qkv[..., (H + Hkv) * D :].reshape(B, T, Hkv, D)
+        elif "wqk" in layer:  # fused QK projection (loader.fuse_kmajor)
+            qk = qmatmul(h, layer["wqk"], impl)
+            q = qk[..., : H * D].reshape(B, T, H, D)
+            k = qk[..., H * D :].reshape(B, T, Hkv, D)
+            v = qmatmul(h, layer["wv"], impl).reshape(B, T, Hkv, D)
+        else:
+            q = qmatmul(h, layer["wq"], impl).reshape(B, T, H, D)
+            k = qmatmul(h, layer["wk"], impl).reshape(B, T, Hkv, D)
+            v = qmatmul(h, layer["wv"], impl).reshape(B, T, Hkv, D)
+        if cfg.attn_bias:
+            q = q + layer["bq"].reshape(H, D)
+            k = k + layer["bk"].reshape(Hkv, D)
+            v = v + layer["bv"].reshape(Hkv, D)
+
+        q = apply_rope(q, cos[:, :, None, :], sin[:, :, None, :], cfg.rope.mode)
+        k = apply_rope(k, cos[:, :, None, :], sin[:, :, None, :], cfg.rope.mode)
 
     ring_last = None
     if kv_write is not None:

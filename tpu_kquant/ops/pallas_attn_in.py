@@ -1,0 +1,321 @@
+"""Fused attention-input Pallas megakernel: rms_norm -> Q/K/V quantized
+matmuls -> rope, in ONE kernel launch.
+
+Why: after the FFN-block fusion (ops.pallas_ffn) the decode step's remaining
+fixed-cost hotspot was the attention input path — per layer one norm, two or
+three qmatmul launches, and two rope ops (~0.32 ms/tok measured vs ~0.14
+HBM-ideal on TinyLlama, tools_ablate_decode.py). The reference pays the
+analogous per-node dispatch in ggml_compute_forward (SURVEY.md 3.1); here all
+of it collapses into one pallas_call whose grid pipelines K-depth chunks of
+every projection weight:
+
+  grid step k: fetch chunk k of each W in {wqk, wv} (or {wqkv}),
+               xn_k = rms_norm(x)[:, chunk_k]          (stats recomputed
+                                                        per step — VPU noise)
+               acc_i += xn_k @ dequant(W_i chunk k)
+  last step:   acc_0 = rope(acc_0 + bias) via the NEOX half-rotate
+               (a lane roll by +-head_dim/2 — valid because the loader
+               canonicalizes NORM-mode models, runtime/loader.py
+               _rope_neox_perm), v sections ride cos=1/sin=0 table padding.
+
+Weight bytes stream HBM->VMEM exactly once (same as ops.pallas_qmm); ~5 ops'
+worth of launch overhead per layer collapses into one.
+
+Supported packed layouts (quant/repack.py conventions, kmajor):
+  q4 folded (sm pairs or f32 scales+mins), q6w, q8 — per weight tensor,
+  kinds may differ between tensors (Q4_K_M: wqk q4, wv q6w).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpu_kquant.quant.qtensor import QTensor
+from tpu_kquant.quant.repack import GROUP_SIZE
+
+_FLAT_KINDS = ("q6w", "q8")
+_KINDS = ("q4",) + _FLAT_KINDS
+
+
+def attn_in_supported(ws: list[QTensor], rows: int, D: int) -> bool:
+    if rows > 32:  # prefill shapes: the plain batched kernels win
+        return False
+    if D % 512:
+        return False
+    for w in ws:
+        if w.layout != "kmajor" or w.kind not in _KINDS:
+            return False
+        if w.shape[-1] != D or w.shape[0] % 128:
+            return False
+    return True
+
+
+def attn_in_enabled(impl: str, ws: list[QTensor], rows: int, D: int) -> bool:
+    import os
+
+    if os.environ.get("TKQ_FUSE_ATTN", "1") != "1":
+        return False
+    if impl not in ("auto", "pallas", "int8"):
+        return False
+    if not attn_in_supported(ws, rows, D):
+        return False
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:  # pragma: no cover
+        return False
+
+
+def _decode_sm(sm_block):
+    """Packed bf16 (scale, min) pairs in an f32 container -> (s, m) f32."""
+    bits = jax.lax.bitcast_convert_type(sm_block, jnp.int32)
+    s = jax.lax.bitcast_convert_type(bits << 16, jnp.float32)
+    m = jax.lax.bitcast_convert_type(bits & jnp.int32(-65536), jnp.float32)
+    return s, m
+
+
+def _attn_in_kernel(specs, D, TK2, nk, half_rot, eps, nw_scale, *refs):
+    """specs: per-weight static descriptors (kind, has_sm, has_mins, has_bias).
+
+    Ref order: x_full, nw, x_lo, x_hi, per-weight packed refs (see
+    _weight_refs), cos, sin, [biases...], outputs..., scratch accs...
+    """
+    it = iter(refs)
+    x_full = next(it)
+    nw_lo_ref = next(it)
+    nw_hi_ref = next(it)
+    x_lo_ref = next(it)
+    x_hi_ref = next(it)
+    wrefs = []
+    for kind, has_sm, has_mins, _ in specs:
+        if kind == "q4":
+            qs = (next(it),)
+            s = (next(it), next(it))
+            m = (next(it), next(it)) if has_mins else None
+        else:  # flat: lo/hi row chunks are separate blocks of the same array
+            qs = (next(it), next(it))
+            s = (next(it), next(it))
+            m = None
+        wrefs.append((qs, s, m))
+    cos_ref = next(it)
+    sin_ref = next(it)
+    biases = [next(it) if sp[3] else None for sp in specs]
+    outs = [next(it) for _ in specs]
+    accs = [next(it) for _ in specs]
+
+    k = pl.program_id(0)
+
+    @pl.when(k == 0)
+    def _():
+        for acc in accs:
+            acc[:] = jnp.zeros_like(acc)
+
+    # rms_norm statistic over the FULL row, recomputed per step (R*D VPU
+    # flops — noise next to the weight DMA); normalization applied per-chunk
+    xf = x_full[:].astype(jnp.float32)
+    rstd = jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)
+    nw_lo = nw_lo_ref[:].astype(jnp.float32) + nw_scale
+    nw_hi = nw_hi_ref[:].astype(jnp.float32) + nw_scale
+    x_lo = (x_lo_ref[:].astype(jnp.float32) * rstd * nw_lo).astype(jnp.bfloat16)
+    x_hi = (x_hi_ref[:].astype(jnp.float32) * rstd * nw_hi).astype(jnp.bfloat16)
+
+    def mm(x, w):
+        return jax.lax.dot_general(
+            x, w.astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    for (kind, has_sm, has_mins, _), (qs, s, m), acc in zip(specs, wrefs, accs):
+        g = GROUP_SIZE[kind]
+        if kind == "q4":
+            q_all = qs[0][:].astype(jnp.int32)
+            contrib = None
+            for hi, x_chunk in ((0, x_lo), (1, x_hi)):
+                q = ((q_all >> 4) if hi else (q_all & 0xF)).astype(jnp.float32)
+                if has_sm:
+                    sc, mn = _decode_sm(s[hi][:])
+                else:
+                    sc = s[hi][:].astype(jnp.float32)
+                    mn = m[hi][:].astype(jnp.float32) if m is not None else None
+                w = q * jnp.repeat(sc, g, axis=0)
+                if mn is not None:
+                    w = w - jnp.repeat(mn, g, axis=0)
+                d = mm(x_chunk, w)
+                contrib = d if contrib is None else contrib + d
+        else:
+            contrib = None
+            for hi, x_chunk in ((0, x_lo), (1, x_hi)):
+                w = (qs[hi][:].astype(jnp.float32)
+                     * jnp.repeat(s[hi][:].astype(jnp.float32), g, axis=0))
+                d = mm(x_chunk, w)
+                contrib = d if contrib is None else contrib + d
+        acc[:] = acc[:] + contrib
+
+    @pl.when(k == nk - 1)
+    def _():
+        for i, (acc, o_ref, b) in enumerate(zip(accs, outs, biases)):
+            # round the matmul result to bf16 first: bit-matches the unfused
+            # path (qmatmul returns bf16 before rope is applied)
+            y = acc[:].astype(jnp.bfloat16).astype(jnp.float32)
+            if b is not None:
+                y = y + b[:].astype(jnp.float32)
+            if i == 0:
+                # NEOX rope epilogue: rot(x)[d] = -x[d + h/2] for in-head lane
+                # d < h/2, x[d - h/2] otherwise; selects never cross a head's
+                # 64-lane block, so full-axis rolls are safe
+                lane = jax.lax.broadcasted_iota(jnp.int32, y.shape, 1)
+                first = (lane % (2 * half_rot)) < half_rot
+                n = y.shape[-1]  # roll(n - s) == roll(-s); shifts must be >= 0
+                rot = jnp.where(first,
+                                -pltpu.roll(y, n - half_rot, 1),
+                                pltpu.roll(y, half_rot, 1))
+                y = y * cos_ref[:] + rot * sin_ref[:]
+            o_ref[:] = y.astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("kinds", "keys", "ns", "has_bias", "D", "half_rot",
+                     "eps", "nw_scale", "out_dtype", "interpret", "tk"),
+)
+def _attn_in_call(x2d, norm_w, flat_arrays, cos_full, sin_full, flat_biases,
+                  kinds, keys, ns, has_bias, D, half_rot, eps, nw_scale,
+                  out_dtype, interpret, tk):
+    R = x2d.shape[0]
+    nw2d = norm_w.reshape(1, D)
+
+    # TK2 = packed-row chunk per grid step; folded kinds index rows [0, D/2)
+    TK2 = tk
+    while (D // 2) % TK2:
+        TK2 //= 2
+    nk = (D // 2) // TK2
+
+    x_spec = pl.BlockSpec((R, D), lambda k: (0, 0), memory_space=pltpu.VMEM)
+    xlo_spec = pl.BlockSpec((R, TK2), lambda k: (0, k), memory_space=pltpu.VMEM)
+    xhi_spec = pl.BlockSpec((R, TK2), lambda k: (0, (D // 2) // TK2 + k),
+                            memory_space=pltpu.VMEM)
+    nwlo_spec = pl.BlockSpec((1, TK2), lambda k: (0, k), memory_space=pltpu.VMEM)
+    nwhi_spec = pl.BlockSpec((1, TK2), lambda k: (0, (D // 2) // TK2 + k),
+                             memory_space=pltpu.VMEM)
+    in_specs = [x_spec, nwlo_spec, nwhi_spec, xlo_spec, xhi_spec]
+    inputs = [x2d, nw2d, nw2d, x2d, x2d]
+
+    specs = []
+    ai = iter(flat_arrays)
+    for kind, kkeys, N in zip(kinds, keys, ns):
+        a = dict(zip(kkeys, [next(ai) for _ in kkeys]))
+        g = GROUP_SIZE[kind]
+        has_sm = "sm" in a
+        has_mins = "mins" in a
+        sg = TK2 // g
+        s_key = "sm" if has_sm else "scales"
+        lo_s = pl.BlockSpec((sg, N), lambda k: (k, 0), memory_space=pltpu.VMEM)
+        hi_s = pl.BlockSpec((sg, N), lambda k, _o=(D // 2) // TK2: (_o + k, 0),
+                            memory_space=pltpu.VMEM)
+        if kind == "q4":
+            in_specs.append(pl.BlockSpec((TK2, N), lambda k: (k, 0),
+                                         memory_space=pltpu.VMEM))
+            inputs.append(a["qs"])
+            in_specs += [lo_s, hi_s]
+            inputs += [a[s_key], a[s_key]]
+            if has_mins:
+                in_specs += [lo_s, hi_s]
+                inputs += [a["mins"], a["mins"]]
+        else:
+            lo_q = pl.BlockSpec((TK2, N), lambda k: (k, 0),
+                                memory_space=pltpu.VMEM)
+            hi_q = pl.BlockSpec((TK2, N), lambda k, _o=(D // 2) // TK2:
+                                (_o + k, 0), memory_space=pltpu.VMEM)
+            in_specs += [lo_q, hi_q, lo_s, hi_s]
+            inputs += [a["qs"], a["qs"], a[s_key], a[s_key]]
+        specs.append((kind, has_sm, has_mins, False))
+
+    n0 = ns[0]
+    cs_spec = pl.BlockSpec((R, n0), lambda k: (0, 0), memory_space=pltpu.VMEM)
+    in_specs += [cs_spec, cs_spec]
+    inputs += [cos_full, sin_full]
+    bi = iter(flat_biases)
+    for i, hb in enumerate(has_bias):
+        if hb:
+            specs[i] = specs[i][:3] + (True,)
+            in_specs.append(pl.BlockSpec((1, ns[i]), lambda k: (0, 0),
+                                         memory_space=pltpu.VMEM))
+            inputs.append(next(bi).reshape(1, ns[i]))
+
+    kernel = functools.partial(_attn_in_kernel, tuple(specs), D, TK2, nk,
+                               half_rot, eps, nw_scale)
+    bytes_accessed = sum(
+        v.size * v.dtype.itemsize for v in flat_arrays
+    ) + 2 * R * D + 2 * R * sum(ns) + 8 * R * n0
+    outs = pl.pallas_call(
+        kernel,
+        grid=(nk,),
+        in_specs=in_specs,
+        out_specs=[pl.BlockSpec((R, N), lambda k: (0, 0),
+                                memory_space=pltpu.VMEM) for N in ns],
+        out_shape=[jax.ShapeDtypeStruct((R, N), jnp.dtype(out_dtype))
+                   for N in ns],
+        scratch_shapes=[pltpu.VMEM((R, N), jnp.float32) for N in ns],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * R * D * sum(ns), bytes_accessed=bytes_accessed,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(*inputs)
+    return tuple(outs)
+
+
+def rope_tables_full(cos, sin, n_heads_roped: int, head_dim: int,
+                     n_pad: int = 0):
+    """Expand per-position rope tables [..., head_dim/2] to flat per-feature
+    tables [R, n_heads_roped*head_dim + n_pad] for the kernel epilogue: each
+    head's lanes get (cos_half, cos_half); pad lanes (un-roped v sections in
+    a fused QKV) get cos=1 / sin=0."""
+    c2 = cos.reshape(-1, cos.shape[-1])
+    s2 = sin.reshape(-1, sin.shape[-1])
+    R = c2.shape[0]
+    c = jnp.tile(jnp.concatenate([c2, c2], -1), (1, n_heads_roped))
+    s = jnp.tile(jnp.concatenate([s2, s2], -1), (1, n_heads_roped))
+    if n_pad:
+        c = jnp.concatenate([c, jnp.ones((R, n_pad), c.dtype)], -1)
+        s = jnp.concatenate([s, jnp.zeros((R, n_pad), s.dtype)], -1)
+    return c.astype(jnp.float32), s.astype(jnp.float32)
+
+
+def fused_attn_in(
+    x: jnp.ndarray,  # [..., D] residual stream
+    norm_w: jnp.ndarray,  # [D]
+    eps: float,
+    ws: list[QTensor],  # projections [N_i, D]; rope applies to ws[0]'s output
+    cos_full: jnp.ndarray,  # [R, N_0] expanded tables (rope_tables_full)
+    sin_full: jnp.ndarray,
+    half_rot: int,  # head_dim // 2
+    biases: list[jnp.ndarray | None] | None = None,
+    nw_scale: float = 0.0,
+    out_dtype=None,
+    interpret: bool = False,
+    tk: int = 512,
+) -> tuple[jnp.ndarray, ...]:
+    """Returns per-weight outputs [..., N_i]; output 0 is roped."""
+    out_dtype = out_dtype or x.dtype
+    D = x.shape[-1]
+    lead = x.shape[:-1]
+    x2d = x.reshape(-1, D)
+    biases = biases or [None] * len(ws)
+    kinds = tuple(w.kind for w in ws)
+    keys = tuple(tuple(sorted(w.arrays)) for w in ws)
+    ns = tuple(int(w.shape[0]) for w in ws)
+    flat_arrays = tuple(w.arrays[k] for w, kk in zip(ws, keys) for k in kk)
+    has_bias = tuple(b is not None for b in biases)
+    flat_biases = tuple(b for b in biases if b is not None)
+    outs = _attn_in_call(
+        x2d, norm_w, flat_arrays, cos_full, sin_full, flat_biases,
+        kinds, keys, ns, has_bias, D, half_rot, float(eps), float(nw_scale),
+        jnp.dtype(out_dtype).name, interpret, tk,
+    )
+    return tuple(o.reshape(*lead, n) for o, n in zip(outs, ns))
