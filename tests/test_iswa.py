@@ -37,7 +37,7 @@ def test_ring_smaller_than_max_seq(swa_model):
     cache = isw.new_cache(1)
     assert cache.ring == 32  # window 16 + chunk 16
     assert cache.full is None  # every layer is sliding (swa_pattern=1)
-    assert cache.swa.k.shape[2] == 32 < 128
+    assert cache.swa.k.shape[3] == 32 < 128
 
 
 def test_iswa_prefill_matches_unified(swa_model):
@@ -127,7 +127,7 @@ def test_iswa_alternating_layers(tmp_path):
     cache = isw.new_cache(1)
     assert cache.full is not None and cache.swa is not None
     assert cache.full.k.shape[0] == 1 and cache.swa.k.shape[0] == 1
-    assert cache.swa.k.shape[2] == 32 and cache.full.k.shape[2] == 128
+    assert cache.swa.k.shape[3] == 32 and cache.full.k.shape[3] == 128
     prompt = [3, 100, 7, 256, 42, 9]
     assert uni.generate([prompt], max_new_tokens=24) == \
            isw.generate([prompt], max_new_tokens=24)

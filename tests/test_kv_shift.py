@@ -68,12 +68,12 @@ def test_shift_matches_reencoding_bf16(rope_name):
 
     live = S - n_discard
     np.testing.assert_allclose(
-        np.asarray(got.k[:, :, :live], np.float32),
-        np.asarray(want.k[:, :, :live], np.float32),
+        np.asarray(got.k[:, :, :, :live], np.float32),
+        np.asarray(want.k[:, :, :, :live], np.float32),
         atol=0.04,  # bf16 storage + one extra rotation round-trip
     )
     np.testing.assert_array_equal(
-        np.asarray(got.v[:, :, :live]), np.asarray(want.v[:, :, :live])
+        np.asarray(got.v[:, :, :, :live]), np.asarray(want.v[:, :, :, :live])
     )
 
 
@@ -91,16 +91,16 @@ def test_shift_matches_reencoding_int8():
                                 quantized=True)
 
     live = S - n_discard
-    got_k = np.asarray(got.k[:, :, :live], np.float32) * np.asarray(
-        got.k_scale[:, :, :live]
+    got_k = np.asarray(got.k[:, :, :, :live], np.float32) * np.asarray(
+        got.k_scale[:, :, :, :live]
     )[..., None]
-    want_k = np.asarray(want.k[:, :, :live], np.float32) * np.asarray(
-        want.k_scale[:, :, :live]
+    want_k = np.asarray(want.k[:, :, :, :live], np.float32) * np.asarray(
+        want.k_scale[:, :, :, :live]
     )[..., None]
     # int8 round-trip twice (append + requantize after rotation)
     np.testing.assert_allclose(got_k, want_k, atol=0.1)
     np.testing.assert_array_equal(
-        np.asarray(got.v[:, :, :live]), np.asarray(want.v[:, :, :live])
+        np.asarray(got.v[:, :, :, :live]), np.asarray(want.v[:, :, :, :live])
     )
 
 

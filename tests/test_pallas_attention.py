@@ -14,14 +14,14 @@ RNG = np.random.default_rng(4)
 def _setup(B, S, H, Hkv, D, pos, quantized=False):
     q = jnp.asarray(RNG.standard_normal((B, 1, H, D)), jnp.float32)
     if quantized:
-        k = jnp.asarray(RNG.integers(-127, 127, (B, S, Hkv, D)), jnp.int8)
-        v = jnp.asarray(RNG.integers(-127, 127, (B, S, Hkv, D)), jnp.int8)
-        ks = jnp.asarray(RNG.random((B, S, Hkv)) * 0.01 + 0.001, jnp.float32)
-        vs = jnp.asarray(RNG.random((B, S, Hkv)) * 0.01 + 0.001, jnp.float32)
+        k = jnp.asarray(RNG.integers(-127, 127, (B, Hkv, S, D)), jnp.int8)
+        v = jnp.asarray(RNG.integers(-127, 127, (B, Hkv, S, D)), jnp.int8)
+        ks = jnp.asarray(RNG.random((B, Hkv, S)) * 0.01 + 0.001, jnp.float32)
+        vs = jnp.asarray(RNG.random((B, Hkv, S)) * 0.01 + 0.001, jnp.float32)
         scales = (ks, vs)
     else:
-        k = jnp.asarray(RNG.standard_normal((B, S, Hkv, D)), jnp.float32)
-        v = jnp.asarray(RNG.standard_normal((B, S, Hkv, D)), jnp.float32)
+        k = jnp.asarray(RNG.standard_normal((B, Hkv, S, D)), jnp.float32)
+        v = jnp.asarray(RNG.standard_normal((B, Hkv, S, D)), jnp.float32)
         scales = None
     positions = jnp.asarray(pos, jnp.int32).reshape(B, 1)
     return q, k, v, positions, scales

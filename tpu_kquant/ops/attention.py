@@ -22,10 +22,10 @@ def _on_tpu() -> bool:
 
 def attention_decode(
     q: jnp.ndarray,  # [B, T, H, D]
-    k_cache: jnp.ndarray,  # [B, S, Hkv, D]   (bf16 or int8)
-    v_cache: jnp.ndarray,  # [B, S, Hkv, D]
+    k_cache: jnp.ndarray,  # [B, Hkv, S, D]   (bf16 or int8, heads-major)
+    v_cache: jnp.ndarray,  # [B, Hkv, S, D]
     q_positions: jnp.ndarray,  # [B, T] absolute position of each query token
-    kv_scales: tuple[jnp.ndarray, jnp.ndarray] | None = None,  # int8 per-token scales [B, S, Hkv]
+    kv_scales: tuple[jnp.ndarray, jnp.ndarray] | None = None,  # int8 per-token scales [B, Hkv, S]
     scale: float | None = None,
     logit_softcap: float = 0.0,
     sliding_window: int = 0,
@@ -59,12 +59,12 @@ def attention_decode(
         and static_win
         and sliding_window == 0
         and D % 64 == 0
-        and k_cache.shape[1] % 64 == 0
+        and k_cache.shape[2] % 64 == 0
         and (impl == "pallas" or _on_tpu())
         # kernel-launch overhead only pays off once the KV working set is
         # non-trivial (large batch and/or long context); below that the
         # XLA-fused path wins at decode
-        and (impl == "pallas" or B * k_cache.shape[1] >= 4096)
+        and (impl == "pallas" or B * k_cache.shape[2] >= 4096)
     ):
         from tpu_kquant.ops.pallas_attention import attention_decode_pallas
 
@@ -72,13 +72,13 @@ def attention_decode(
             q, k_cache, v_cache, q_positions, kv_scales, scale,
             interpret=(impl == "pallas" and not _on_tpu()),
         )
-    S, Hkv = k_cache.shape[1], k_cache.shape[2]
+    Hkv, S = k_cache.shape[1], k_cache.shape[2]
     G = H // Hkv  # query groups per kv head
     if scale is None:
         scale = D ** -0.5
 
     if kv_scales is not None:
-        ks, vs = kv_scales  # [B, S, Hkv]
+        ks, vs = kv_scales  # [B, Hkv, S]
         kf = k_cache.astype(jnp.float32) * ks[..., None]
         vf = v_cache.astype(jnp.float32) * vs[..., None]
     else:
@@ -87,7 +87,7 @@ def attention_decode(
 
     qf = q.astype(jnp.float32).reshape(B, T, Hkv, G, D)
     # logits: [B, T, Hkv, G, S]
-    logits = jnp.einsum("bthgd,bshd->bthgs", qf, kf) * scale
+    logits = jnp.einsum("bthgd,bhsd->bthgs", qf, kf) * scale
     if logit_softcap > 0.0:
         logits = jnp.tanh(logits / logit_softcap) * logit_softcap
 
@@ -105,5 +105,5 @@ def attention_decode(
     logits = jnp.where(mask[:, :, None, None, :], logits, -jnp.inf)
 
     p = jax.nn.softmax(logits, axis=-1)
-    out = jnp.einsum("bthgs,bshd->bthgd", p, vf)
+    out = jnp.einsum("bthgs,bhsd->bthgd", p, vf)
     return out.reshape(B, T, H, D).astype(q.dtype)

@@ -87,18 +87,19 @@ def _attn_kernel(TS, nS, scale, quantized, *refs):
 
 @functools.partial(jax.jit, static_argnames=("scale", "ts", "interpret"))
 def _attn_call(q, k, v, q_pos, k_scale, v_scale, scale, ts, interpret):
-    """q: [B, Hkv, G, D]; k/v: [B, S, Hkv, D]; q_pos: [B]."""
+    """q: [B, Hkv, G, D]; k/v: [B, Hkv, S, D] heads-major; q_pos: [B]."""
     B, Hkv, G, D = q.shape
-    S = k.shape[1]
+    S = k.shape[2]
     TS = ts
     while S % TS != 0:
         TS //= 2
     nS = S // TS
     quantized = k_scale is not None
 
-    # layout: bring Hkv forward so tiles are [TS, D] contiguous-ish per head
-    kt = k.transpose(0, 2, 1, 3)  # [B, Hkv, S, D]
-    vt = v.transpose(0, 2, 1, 3)
+    # heads-major cache: a head's tokens are contiguous, so the (1,1,TS,D)
+    # tiles below stream straight from HBM — no cache transpose
+    kt = k
+    vt = v
 
     qpos_spec = pl.BlockSpec((1, 1), lambda b, h, s: (b, 0), memory_space=pltpu.SMEM)
     q_spec = pl.BlockSpec((1, 1, G, D), lambda b, h, s: (b, h, 0, 0), memory_space=pltpu.VMEM)
@@ -106,8 +107,8 @@ def _attn_call(q, k, v, q_pos, k_scale, v_scale, scale, ts, interpret):
     in_specs = [qpos_spec, q_spec, kv_spec, kv_spec]
     inputs = [q_pos[:, None].astype(jnp.int32), q, kt, vt]
     if quantized:
-        kst = k_scale.transpose(0, 2, 1)[:, :, None, :]  # [B, Hkv, 1, S]
-        vst = v_scale.transpose(0, 2, 1)[:, :, None, :]
+        kst = k_scale[:, :, None, :]  # [B, Hkv, 1, S]
+        vst = v_scale[:, :, None, :]
         kspec = pl.BlockSpec((1, 1, 1, TS), lambda b, h, s: (b, h, 0, s), memory_space=pltpu.VMEM)
         in_specs += [kspec, kspec]
         inputs += [kst, vst]
@@ -131,7 +132,7 @@ def _attn_call(q, k, v, q_pos, k_scale, v_scale, scale, ts, interpret):
 
 def attention_decode_pallas(
     q: jnp.ndarray,  # [B, 1, H, D]
-    k_cache: jnp.ndarray,  # [B, S, Hkv, D]
+    k_cache: jnp.ndarray,  # [B, Hkv, S, D] heads-major
     v_cache: jnp.ndarray,
     q_positions: jnp.ndarray,  # [B, 1]
     kv_scales=None,
@@ -142,7 +143,7 @@ def attention_decode_pallas(
     """Flash decode attention; returns [B, 1, H, D]."""
     B, T, H, D = q.shape
     assert T == 1, "pallas decode kernel handles one query token per row"
-    Hkv = k_cache.shape[2]
+    Hkv = k_cache.shape[1]
     G = H // Hkv
     if scale is None:
         scale = D**-0.5

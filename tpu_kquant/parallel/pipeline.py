@@ -70,13 +70,13 @@ def shard_cache_pp(cache: KVCache, mesh: Mesh) -> KVCache:
     def put(x):
         if x is None:
             return None
-        spec = [None] * x.ndim  # [L, B, S, Hkv(, D)]
+        spec = [None] * x.ndim  # [L, B, Hkv, S(, D)]
         if shp["pipe"] > 1 and x.shape[0] % shp["pipe"] == 0:
             spec[0] = "pipe"
         if shp["data"] > 1 and x.shape[1] % shp["data"] == 0:
             spec[1] = "data"
-        if shp["model"] > 1 and x.shape[3] % shp["model"] == 0:
-            spec[3] = "model"
+        if shp["model"] > 1 and x.shape[2] % shp["model"] == 0:
+            spec[2] = "model"
         return jax.device_put(x, NamedSharding(mesh, P(*spec)))
 
     return KVCache(put(cache.k), put(cache.v), put(cache.k_scale), put(cache.v_scale))

@@ -94,10 +94,10 @@ def shard_cache(cache: Any, mesh: Mesh) -> Any:
     def put(x, with_head_axis: bool):
         if x is None:
             return None
-        spec = [None] * x.ndim
+        spec = [None] * x.ndim  # [L, B, Hkv, S(, D)]
         if n_data > 1 and x.shape[1] % n_data == 0:
             spec[1] = "data"
-        h_ax = 3
+        h_ax = 2
         if with_head_axis and n_model > 1 and x.shape[h_ax] % n_model == 0:
             spec[h_ax] = "model"
         return jax.device_put(x, NamedSharding(mesh, P(*spec)))

@@ -21,9 +21,13 @@ import jax.numpy as jnp
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class KVCache:
-    k: jnp.ndarray  # [L, B, S, Hkv, D] bf16, or int8 when quantized
+    """Heads-major layout [L, B, Hkv, S, D]: a head's tokens are contiguous,
+    so flash kernels (ops.pallas_attention / pallas_attn_out) take perfectly
+    tiled (TS, D) blocks straight from HBM — no per-layer cache transpose."""
+
+    k: jnp.ndarray  # [L, B, Hkv, S, D] bf16, or int8 when quantized
     v: jnp.ndarray
-    k_scale: jnp.ndarray | None  # [L, B, S, Hkv] f32 (int8 mode only)
+    k_scale: jnp.ndarray | None  # [L, B, Hkv, S] f32 (int8 mode only)
     v_scale: jnp.ndarray | None
 
     def tree_flatten(self):
@@ -44,7 +48,7 @@ class KVCache:
         dtype=jnp.bfloat16,
         quantized: bool = False,
     ) -> "KVCache":
-        shape = (n_layers, batch, max_seq, n_kv_heads, head_dim)
+        shape = (n_layers, batch, n_kv_heads, max_seq, head_dim)
         if quantized:
             return KVCache(
                 k=jnp.zeros(shape, jnp.int8),
@@ -60,7 +64,7 @@ class KVCache:
 
     @property
     def max_seq(self) -> int:
-        return self.k.shape[2]
+        return self.k.shape[3]
 
     # -- update ----------------------------------------------------------------
     def append(
@@ -70,18 +74,20 @@ class KVCache:
         v_new: jnp.ndarray,
         positions: jnp.ndarray,  # [B, T] absolute, contiguous per row
     ) -> "KVCache":
-        """Direct update-slice into the full [L, B, S, Hkv, D] arrays — no
+        """Direct update-slice into the full [L, B, Hkv, S, D] arrays — no
         per-layer slice/set-back round trip (which XLA does not elide: it cost
-        ~10% of the measured decode step on the unrolled forward)."""
+        ~10% of the measured decode step on the unrolled forward). The new
+        tokens transpose to heads-major on-chip (tiny: [B, T, Hkv, D])."""
         start = positions[:, 0]
         B = k_new.shape[0]
 
         # unrolled per-row update-slices (B is static and small): each is a
         # plain in-place DUS on the donated buffer — no vmap/scatter lowering
         def upd(full, val):
+            val = val.transpose(0, 2, 1, 3)  # [B, Hkv, T, D]
             for b in range(B):
                 full = jax.lax.dynamic_update_slice(
-                    full, val[b][None, None], (layer_idx, b, start[b], 0, 0)
+                    full, val[b][None, None], (layer_idx, b, 0, start[b], 0)
                 )
             return full
 
@@ -90,9 +96,10 @@ class KVCache:
             vq, vs = _quant_i8(v_new)
 
             def upd_s(full, val):
+                val = val.transpose(0, 2, 1)  # [B, Hkv, T]
                 for b in range(B):
                     full = jax.lax.dynamic_update_slice(
-                        full, val[b][None, None], (layer_idx, b, start[b], 0)
+                        full, val[b][None, None], (layer_idx, b, 0, start[b])
                     )
                 return full
 
@@ -103,7 +110,7 @@ class KVCache:
                        upd(self.v, v_new.astype(dt)), None, None)
 
     def layer(self, layer_idx) -> "LayerKV":
-        """Per-layer slice (k [B,S,Hkv,D], v, k_scale|None, v_scale|None).
+        """Per-layer slice (k [B,Hkv,S,D], v, k_scale|None, v_scale|None).
         ``layer_idx`` may be traced."""
         def sl(x):
             return None if x is None else x[layer_idx]
@@ -120,7 +127,7 @@ class KVCache:
         )
 
     def layer_view(self, layer_idx: int):
-        """(k [B,S,Hkv,D], v, scales-tuple-or-None) for attention."""
+        """(k [B,Hkv,S,D], v, scales-tuple-or-None) for attention."""
         if self.quantized:
             return (
                 self.k[layer_idx],
@@ -149,8 +156,8 @@ class ISWACache:
     homogeneous per-layer shapes.
     """
 
-    full: KVCache | None  # [L_full, B, S, Hkv, D]
-    swa: KVCache | None   # [L_swa, B, ring, Hkv, D]
+    full: KVCache | None  # [L_full, B, Hkv, S, D]
+    swa: KVCache | None   # [L_swa, B, Hkv, ring, D]
     layer_map: tuple      # static: per model layer ('full'|'swa', index)
     ring: int             # static: swa ring size
 
@@ -214,11 +221,13 @@ class ISWACache:
         c = self.swa
 
         def scat(full, val):
+            # advanced indices (b_idx, slots) separated by the ':' head axis
+            # move to the front: the gather/scatter shape is [B, T, Hkv(, D)]
             if valid is not None:  # keep existing content under pad slots
-                cur = full[li, b_idx, slots]
+                cur = full[li, b_idx, :, slots]
                 v = valid.reshape(valid.shape + (1,) * (val.ndim - 2))
                 val = jnp.where(v, val.astype(cur.dtype), cur)
-            return full.at[li, b_idx, slots].set(val)
+            return full.at[li, b_idx, :, slots].set(val)
 
         if c.quantized:
             kq, ks = _quant_i8(k_new)
@@ -259,18 +268,20 @@ def append_layer(
     k_l, v_l, ks_l, vs_l = lkv
     start = positions[:, 0]
 
-    def upd(cache_l, val):  # vmap over batch
+    def upd(cache_l, val):  # vmap over batch; cache_l [B, Hkv, S, D]
+        val = val.transpose(0, 2, 1, 3)  # [B, Hkv, T, D]
         return jax.vmap(
-            lambda c, u, s: jax.lax.dynamic_update_slice(c, u, (s, 0, 0))
+            lambda c, u, s: jax.lax.dynamic_update_slice(c, u, (0, s, 0))
         )(cache_l, val, start)
 
     if k_l.dtype == jnp.int8:  # quantized: per-(token, head) f32 scales
         kq, ks = _quant_i8(k_new)
         vq, vs = _quant_i8(v_new)
 
-        def upd_s(cache_l, val):
+        def upd_s(cache_l, val):  # cache_l [B, Hkv, S]
+            val = val.transpose(0, 2, 1)  # [B, Hkv, T]
             return jax.vmap(
-                lambda c, u, s: jax.lax.dynamic_update_slice(c, u, (s, 0))
+                lambda c, u, s: jax.lax.dynamic_update_slice(c, u, (0, s))
             )(cache_l, val, start)
 
         return (upd(k_l, kq), upd(v_l, vq), upd_s(ks_l, ks), upd_s(vs_l, vs))
@@ -301,10 +312,10 @@ def shift_cache(cache: KVCache, n_keep: int, n_discard: int, rope) -> KVCache:
     S = cache.max_seq
     idx = jnp.arange(S)
     src = jnp.where(idx < n_keep, idx, jnp.minimum(idx + n_discard, S - 1))
-    k = jnp.take(cache.k, src, axis=2)
-    v = jnp.take(cache.v, src, axis=2)
-    ks = None if cache.k_scale is None else jnp.take(cache.k_scale, src, axis=2)
-    vs = None if cache.v_scale is None else jnp.take(cache.v_scale, src, axis=2)
+    k = jnp.take(cache.k, src, axis=3)
+    v = jnp.take(cache.v, src, axis=3)
+    ks = None if cache.k_scale is None else jnp.take(cache.k_scale, src, axis=3)
+    vs = None if cache.v_scale is None else jnp.take(cache.v_scale, src, axis=3)
 
     cos, sin = rope_delta_cos_sin(-n_discard, rope)
     moved = idx >= n_keep  # [S]
@@ -314,16 +325,16 @@ def shift_cache(cache: KVCache, n_keep: int, n_discard: int, rope) -> KVCache:
         scale = jnp.max(jnp.abs(kr), axis=-1) / 127.0
         safe = jnp.where(scale > 0, scale, 1.0)
         kq = jnp.round(kr / safe[..., None]).astype(jnp.int8)
-        k = jnp.where(moved[None, None, :, None, None], kq, k)
-        ks = jnp.where(moved[None, None, :, None], scale.astype(jnp.float32), ks)
+        k = jnp.where(moved[:, None], kq, k)
+        ks = jnp.where(moved, scale.astype(jnp.float32), ks)
     else:
         kr = apply_rope(k, cos, sin, rope.mode).astype(k.dtype)
-        k = jnp.where(moved[None, None, :, None, None], kr, k)
+        k = jnp.where(moved[:, None], kr, k)
     return KVCache(k, v, ks, vs)
 
 
 def slice_batch_row(cache: KVCache, slot) -> KVCache:
-    """View of one batch row (slot may be traced): [L, 1, S, Hkv, D]."""
+    """View of one batch row (slot may be traced): [L, 1, Hkv, S, D]."""
     import jax
 
     def sl(x):
