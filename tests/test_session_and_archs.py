@@ -133,8 +133,8 @@ def test_sliding_window_attention(tmp_path):
     rng = np.random.default_rng(0)
     B, S, H, Hkv, D = 1, 64, 4, 2, 16
     q = jnp.asarray(rng.standard_normal((B, 1, H, D)), jnp.float32)
-    k = jnp.asarray(rng.standard_normal((B, S, Hkv, D)), jnp.float32)
-    v = jnp.asarray(rng.standard_normal((B, S, Hkv, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, Hkv, S, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, Hkv, S, D)), jnp.float32)
     pos = jnp.asarray([[40]], jnp.int32)
 
     full = attention_decode(q, k, v, pos, impl="xla")
@@ -142,8 +142,8 @@ def test_sliding_window_attention(tmp_path):
     assert not np.allclose(np.asarray(full), np.asarray(win), atol=1e-4)
 
     # corrupting K/V outside the window must not change windowed output
-    k2 = k.at[:, :30].set(99.0)
-    v2 = v.at[:, :30].set(99.0)
+    k2 = k.at[:, :, :30].set(99.0)
+    v2 = v.at[:, :, :30].set(99.0)
     win2 = attention_decode(q, k2, v2, pos, sliding_window=8, impl="xla")
     np.testing.assert_allclose(np.asarray(win), np.asarray(win2), atol=1e-6)
 

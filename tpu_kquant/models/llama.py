@@ -118,15 +118,46 @@ def llama_layer(
     else:
         lkv = append_layer(lkv, k, v, positions)
         k_all, v_all, kv_scales = lkv[0], lkv[1], layer_scales(lkv)
-    attn = attention_decode(q, k_all, v_all, positions, kv_scales,
-                            logit_softcap=cfg.attn_logit_softcap,
-                            sliding_window=window,
-                            impl="xla" if impl == "xla" else "auto",
-                            ring_last=ring_last)
-    h = qmatmul(attn.reshape(B, T, H * D), layer["wo"], impl)
-    if cfg.post_norms:  # gemma2 post-attention norm
-        h = rms_norm(h, _norm_w(layer["post_attn_norm"]), cfg.norm_eps)
-    x = x + h
+    # fused attention-output megakernel: flash attention + o_proj + residual
+    # in one launch (decode shapes on TPU, full attention only)
+    fused_out = None
+    if (T == 1 and ring_last is None and cfg.attn_logit_softcap == 0.0
+            and isinstance(window, int) and window == 0
+            and not cfg.post_norms):
+        from tpu_kquant.ops.pallas_attn_out import (
+            attn_out_enabled, fused_attn_out)
+
+        if attn_out_enabled(impl, layer["wo"], H, Hkv, D, B * T,
+                            int(k_all.shape[2])):
+            fused_out = fused_attn_out
+
+    if fused_out is not None:
+        x = fused_out(x, q, k_all, v_all, positions, kv_scales, layer["wo"])
+    else:
+        attn = attention_decode(q, k_all, v_all, positions, kv_scales,
+                                logit_softcap=cfg.attn_logit_softcap,
+                                sliding_window=window,
+                                impl="xla" if impl == "xla" else "auto",
+                                ring_last=ring_last)
+        # fused o_proj + attention-residual + FFN-block megakernel: one
+        # launch from the attention output to the layer output
+        if not cfg.is_moe and not cfg.post_norms and "w_gateup" in layer:
+            from tpu_kquant.ops.pallas_ffn import (
+                fused_oproj_ffn, oproj_ffn_enabled)
+
+            if oproj_ffn_enabled(impl, layer["wo"], layer["w_gateup"],
+                                 layer["w_down"], B * T):
+                x = fused_oproj_ffn(
+                    x, attn.reshape(B, T, H * D), layer["wo"],
+                    _norm_w(layer["ffn_norm"]), cfg.norm_eps,
+                    layer["w_gateup"], layer["w_down"],
+                    act_fn="gelu" if cfg.act_fn == "gelu" else "silu",
+                )
+                return x, lkv
+        h = qmatmul(attn.reshape(B, T, H * D), layer["wo"], impl)
+        if cfg.post_norms:  # gemma2 post-attention norm
+            h = rms_norm(h, _norm_w(layer["post_attn_norm"]), cfg.norm_eps)
+        x = x + h
 
     if (not cfg.is_moe and not cfg.post_norms and "w_gateup" in layer):
         from tpu_kquant.ops.pallas_ffn import fused_ffn, fused_ffn_enabled

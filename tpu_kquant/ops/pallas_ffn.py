@@ -279,3 +279,346 @@ def fused_ffn(
         interpret, tf,
     )
     return y.reshape(*lead, D)
+
+
+# ---------------------------------------------------------------------------
+# o_proj + residual + FFN block in ONE launch
+# ---------------------------------------------------------------------------
+#
+# fused_oproj_ffn extends the FFN megakernel with a K-chunked o_proj PROLOGUE:
+#
+#   grid step j < nko:  acc_x += attn[:, chunk_j] @ dequant(Wo chunk j)
+#   at j == nko-1:      x2 = x + acc_x                (attention residual)
+#   grid step j >= nko: the fused_ffn pipeline on x2  (norm -> gate/up ->
+#                       act -> down -> +x2)
+#
+# This removes the separate o_proj qmatmul + residual-add dispatches per layer
+# and keeps every phase a pipelined qmm step (weight DMA overlapped with the
+# previous chunk's dequant+matmul) — unlike folding o_proj into the attention
+# kernel, whose KV-tile grid steps are too small to hide the Wo stream at
+# decode-shape S (measured: 715 -> 514 t/s tg128, rejected). The attention
+# region itself stays the XLA-fused path at decode shapes (ops.attention).
+#
+# Wo is kmajor [dim, K=H*D]: folded q4 chunks use the attn-in lo/hi-nibble
+# activation split; flat kinds (q6w/q8) fetch lo/hi row blocks.
+
+
+def oproj_ffn_supported(wo: QTensor, gu: QTensor, dn: QTensor,
+                        rows: int) -> bool:
+    if not ffn_supported(gu, dn, rows):
+        return False
+    if wo.layout != "kmajor" or wo.kind not in ("q4",) + _FLAT_KINDS:
+        return False
+    dim = gu.shape[-1]
+    K = int(wo.shape[-1])
+    if wo.shape[0] != dim or K % 1024:
+        return False
+    return True
+
+
+def oproj_ffn_enabled(impl: str, wo: QTensor, gu: QTensor, dn: QTensor,
+                      rows: int) -> bool:
+    import os
+
+    if os.environ.get("TKQ_FUSE_OPROJ", "1") != "1":
+        return False
+    if impl not in ("auto", "pallas", "int8"):
+        return False
+    if not oproj_ffn_supported(wo, gu, dn, rows):
+        return False
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:  # pragma: no cover
+        return False
+
+
+def _oproj_ffn_kernel(wo_kind, wo_sm, wo_mins, gu_kind, dn_kind, gu_sm,
+                      gu_mins, dim, K, TKo2, nko, F, TF, nf, eps, act_fn,
+                      *refs):
+    it = iter(refs)
+    x_ref = next(it)
+    nw_ref = next(it)
+    a_lo_ref = next(it)
+    a_hi_ref = next(it)
+    if wo_kind == "q4":
+        wo_qs = (next(it),)
+        wo_s = (next(it), next(it))
+        wo_m = (next(it), next(it)) if wo_mins else None
+    else:
+        wo_qs = (next(it), next(it))
+        wo_s = (next(it), next(it))
+        wo_m = None
+    g_qs = next(it)
+    u_qs = next(it)
+    g_s = next(it)
+    u_s = next(it)
+    g_m = next(it) if gu_mins else None
+    u_m = next(it) if gu_mins else None
+    d_qs = next(it)
+    d_s = next(it)
+    o_ref = next(it)
+    acc_x = next(it)   # [R, dim] f32: o_proj accumulator
+    x2_scr = next(it)  # [R, dim] bf16: post-attention residual stream
+    acc = next(it)     # [R, dim] f32: FFN down accumulator
+
+    j = pl.program_id(0)
+
+    @pl.when(j == 0)
+    def _():
+        acc_x[:] = jnp.zeros_like(acc_x)
+        acc[:] = jnp.zeros_like(acc)
+
+    def mm(x, w):
+        return jax.lax.dot_general(
+            x, w.astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    # ---- phase A: o_proj K-chunk ------------------------------------------
+    @pl.when(j < nko)
+    def _():
+        gsz = GROUP_SIZE[wo_kind]
+        a_lo = a_lo_ref[:].astype(jnp.bfloat16)
+        a_hi = a_hi_ref[:].astype(jnp.bfloat16)
+        if wo_kind == "q4":
+            q_all = wo_qs[0][:].astype(jnp.int32)
+            contrib = None
+            for hi, a in ((0, a_lo), (1, a_hi)):
+                q = ((q_all >> 4) if hi else (q_all & 0xF)).astype(jnp.float32)
+                if wo_sm:
+                    sc, mn = _decode_sm(wo_s[hi][:])
+                else:
+                    sc = wo_s[hi][:].astype(jnp.float32)
+                    mn = wo_m[hi][:].astype(jnp.float32) if wo_m else None
+                w = q * jnp.repeat(sc, gsz, axis=0)
+                if mn is not None:
+                    w = w - jnp.repeat(mn, gsz, axis=0)
+                d = mm(a, w)
+                contrib = d if contrib is None else contrib + d
+        else:
+            contrib = None
+            for hi, a in ((0, a_lo), (1, a_hi)):
+                w = (wo_qs[hi][:].astype(jnp.float32)
+                     * jnp.repeat(wo_s[hi][:].astype(jnp.float32), gsz,
+                                  axis=0))
+                d = mm(a, w)
+                contrib = d if contrib is None else contrib + d
+        acc_x[:] = acc_x[:] + contrib
+
+    @pl.when(j == nko - 1)
+    def _():
+        # attention residual; round acc to bf16 first (matches the unfused
+        # qmatmul output dtype), add in f32, round once
+        h = acc_x[:].astype(jnp.bfloat16).astype(jnp.float32)
+        x2_scr[:] = (x_ref[:].astype(jnp.float32) + h).astype(jnp.bfloat16)
+
+    # ---- phase B: FFN block on x2 (fused_ffn pipeline) --------------------
+    @pl.when(j >= nko)
+    def _():
+        xf = x2_scr[:].astype(jnp.float32)
+        var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+        xn = (xf * jax.lax.rsqrt(var + eps) * nw_ref[:].astype(jnp.float32)
+              ).astype(jnp.bfloat16)
+
+        def gu_matmul(qs_ref, s_ref, m_ref):
+            g = GROUP_SIZE[gu_kind]
+            if gu_kind in _FLAT_KINDS:
+                q = qs_ref[:].astype(jnp.float32)
+                w = q * jnp.repeat(s_ref[:].astype(jnp.float32), g, axis=0)
+                if m_ref is not None:
+                    w = w - jnp.repeat(m_ref[:].astype(jnp.float32), g, axis=0)
+                return mm(xn, w)
+            qs = qs_ref[:].astype(jnp.int32)
+            if gu_sm:
+                s_all, m_all = _decode_sm(s_ref[:])
+            else:
+                s_all = s_ref[:].astype(jnp.float32)
+                m_all = m_ref[:].astype(jnp.float32) if m_ref is not None else None
+            half_g = (dim // 2) // g
+            out = None
+            for hi, xs in ((False, xn[:, : dim // 2]), (True, xn[:, dim // 2 :])):
+                q = ((qs >> 4) if hi else (qs & 0xF)).astype(jnp.float32)
+                sl = slice(half_g, None) if hi else slice(0, half_g)
+                w = q * jnp.repeat(s_all[sl], g, axis=0)
+                if m_all is not None:
+                    w = w - jnp.repeat(m_all[sl], g, axis=0)
+                d = mm(xs, w)
+                out = d if out is None else out + d
+            return out
+
+        gate = gu_matmul(g_qs, g_s, g_m).astype(jnp.bfloat16).astype(jnp.float32)
+        up = gu_matmul(u_qs, u_s, u_m).astype(jnp.bfloat16).astype(jnp.float32)
+        if act_fn == "gelu":
+            a = jax.nn.gelu(gate, approximate=False) * up
+        else:
+            a = jax.nn.silu(gate) * up
+        a = a.astype(jnp.bfloat16)
+
+        gd = GROUP_SIZE[dn_kind]
+        wd = (d_qs[:].astype(jnp.float32)
+              * jnp.repeat(d_s[:].astype(jnp.float32), gd, axis=0))
+        acc[:] = acc[:] + mm(a, wd)
+
+    @pl.when(j == nko + nf - 1)
+    def _():
+        o_ref[:] = (x2_scr[:].astype(jnp.float32) + acc[:]).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("wo_kind", "gu_kind", "dn_kind", "wo_keys", "gu_keys",
+                     "dn_keys", "dim", "K", "F", "eps", "act_fn", "out_dtype",
+                     "interpret", "tko", "tf"),
+)
+def _oproj_ffn_call(x2d, attn2d, norm_w, wo_arrays, gu_arrays, dn_arrays,
+                    wo_kind, gu_kind, dn_kind, wo_keys, gu_keys, dn_keys,
+                    dim, K, F, eps, act_fn, out_dtype, interpret, tko, tf):
+    wo = dict(zip(wo_keys, wo_arrays))
+    gu = dict(zip(gu_keys, gu_arrays))
+    dn = dict(zip(dn_keys, dn_arrays))
+    R = x2d.shape[0]
+
+    TKo2 = tko
+    while (K // 2) % TKo2:
+        TKo2 //= 2
+    nko = (K // 2) // TKo2
+    TF = tf or _pick_tf(F)
+    nf = F // TF
+    n_steps = nko + nf
+
+    wo_sm = "sm" in wo
+    wo_mins = "mins" in wo
+    gu_sm = "sm" in gu
+    gu_mins = "mins" in gu
+    gw = GROUP_SIZE[wo_kind]
+    gd = GROUP_SIZE[dn_kind]
+
+    def clampo(j):
+        return jnp.minimum(j, nko - 1)
+
+    def clampf(j):
+        return jnp.clip(j - nko, 0, nf - 1)
+
+    x_spec = pl.BlockSpec((R, dim), lambda j: (0, 0), memory_space=pltpu.VMEM)
+    nw_spec = pl.BlockSpec((1, dim), lambda j: (0, 0), memory_space=pltpu.VMEM)
+    alo_spec = pl.BlockSpec((R, TKo2), lambda j: (0, clampo(j)),
+                            memory_space=pltpu.VMEM)
+    ahi_spec = pl.BlockSpec((R, TKo2), lambda j: (0, nko + clampo(j)),
+                            memory_space=pltpu.VMEM)
+    in_specs = [x_spec, nw_spec, alo_spec, ahi_spec]
+    inputs = [x2d, norm_w.reshape(1, dim), attn2d, attn2d]
+
+    # Wo chunk blocks (kmajor [K(/2), dim])
+    wo_sg = TKo2 // gw
+    wo_skey = "sm" if wo_sm else "scales"
+    wlo_s = pl.BlockSpec((wo_sg, dim), lambda j: (clampo(j), 0),
+                         memory_space=pltpu.VMEM)
+    whi_s = pl.BlockSpec((wo_sg, dim), lambda j: (nko + clampo(j), 0),
+                         memory_space=pltpu.VMEM)
+    if wo_kind == "q4":
+        in_specs.append(pl.BlockSpec((TKo2, dim), lambda j: (clampo(j), 0),
+                                     memory_space=pltpu.VMEM))
+        inputs.append(wo["qs"])
+        in_specs += [wlo_s, whi_s]
+        inputs += [wo[wo_skey], wo[wo_skey]]
+        if wo_mins:
+            in_specs += [wlo_s, whi_s]
+            inputs += [wo["mins"], wo["mins"]]
+    else:
+        in_specs += [
+            pl.BlockSpec((TKo2, dim), lambda j: (clampo(j), 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TKo2, dim), lambda j: (nko + clampo(j), 0),
+                         memory_space=pltpu.VMEM),
+            wlo_s, whi_s,
+        ]
+        inputs += [wo["qs"], wo["qs"], wo[wo_skey], wo[wo_skey]]
+
+    # gate/up + down blocks (fused_ffn geometry, clamped to phase B)
+    qs_rows = gu["qs"].shape[0]
+    s_key = "sm" if gu_sm else "scales"
+    s_rows = gu[s_key].shape[0]
+    gqs_spec = pl.BlockSpec((qs_rows, TF), lambda j: (0, clampf(j)),
+                            memory_space=pltpu.VMEM)
+    uqs_spec = pl.BlockSpec((qs_rows, TF), lambda j: (0, F // TF + clampf(j)),
+                            memory_space=pltpu.VMEM)
+    gs_spec = pl.BlockSpec((s_rows, TF), lambda j: (0, clampf(j)),
+                           memory_space=pltpu.VMEM)
+    us_spec = pl.BlockSpec((s_rows, TF), lambda j: (0, F // TF + clampf(j)),
+                           memory_space=pltpu.VMEM)
+    in_specs += [gqs_spec, uqs_spec, gs_spec, us_spec]
+    inputs += [gu["qs"], gu["qs"], gu[s_key], gu[s_key]]
+    if gu_mins:
+        in_specs += [gs_spec, us_spec]
+        inputs += [gu["mins"], gu["mins"]]
+    in_specs.append(pl.BlockSpec((TF, dim), lambda j: (clampf(j), 0),
+                                 memory_space=pltpu.VMEM))
+    inputs.append(dn["qs"])
+    in_specs.append(pl.BlockSpec((TF // gd, dim), lambda j: (clampf(j), 0),
+                                 memory_space=pltpu.VMEM))
+    inputs.append(dn["scales"])
+
+    kernel = functools.partial(_oproj_ffn_kernel, wo_kind, wo_sm, wo_mins,
+                               gu_kind, dn_kind, gu_sm, gu_mins, dim, K, TKo2,
+                               nko, F, TF, nf, eps, act_fn)
+    bytes_accessed = (
+        sum(v.size * v.dtype.itemsize for v in wo.values())
+        + sum(v.size * v.dtype.itemsize for v in gu.values())
+        + sum(v.size * v.dtype.itemsize for v in dn.values())
+        + 2 * R * (K + 3 * dim)
+    )
+    y = pl.pallas_call(
+        kernel,
+        grid=(n_steps,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((R, dim), lambda j: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((R, dim), jnp.dtype(out_dtype)),
+        scratch_shapes=[
+            pltpu.VMEM((R, dim), jnp.float32),
+            pltpu.VMEM((R, dim), jnp.bfloat16),
+            pltpu.VMEM((R, dim), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * R * dim * (K + 3 * F), bytes_accessed=bytes_accessed,
+            transcendentals=R * F,
+        ),
+        interpret=interpret,
+    )(*inputs)
+    return y
+
+
+def fused_oproj_ffn(
+    x: jnp.ndarray,  # [..., dim] residual stream (pre-attention-residual)
+    attn: jnp.ndarray,  # [..., K] attention output (pre-o_proj)
+    wo: QTensor,  # [dim, K] kmajor
+    norm_w: jnp.ndarray,  # [dim] ffn norm weight
+    eps: float,
+    gu: QTensor,  # fused gate+up [2F, dim]
+    dn: QTensor,  # down [dim, F]
+    act_fn: str = "silu",
+    out_dtype=None,
+    interpret: bool = False,
+    tko: int = 512,
+    tf: int | None = None,
+) -> jnp.ndarray:
+    """x2 + ffn(x2) with x2 = x + attn @ Wo^T; one kernel launch."""
+    out_dtype = out_dtype or x.dtype
+    dim = x.shape[-1]
+    K = attn.shape[-1]
+    F = dn.shape[-1]
+    lead = x.shape[:-1]
+    wo_keys = tuple(sorted(wo.arrays))
+    gu_keys = tuple(sorted(gu.arrays))
+    dn_keys = tuple(sorted(dn.arrays))
+    y = _oproj_ffn_call(
+        x.reshape(-1, dim), attn.reshape(-1, K), norm_w,
+        tuple(wo.arrays[k] for k in wo_keys),
+        tuple(gu.arrays[k] for k in gu_keys),
+        tuple(dn.arrays[k] for k in dn_keys),
+        wo.kind, gu.kind, dn.kind, wo_keys, gu_keys, dn_keys,
+        dim, K, F, float(eps), act_fn, jnp.dtype(out_dtype).name, interpret,
+        tko, tf,
+    )
+    return y.reshape(*lead, dim)
