@@ -52,6 +52,17 @@ def test_int8_kv():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=3e-2, atol=3e-2)
 
 
+def test_mostly_dead_cache():
+    # q_pos in the FIRST tile of a 16-tile cache: the clamped scalar-prefetch
+    # index map re-requests tile 0 for all 15 dead tiles (DMA elided); result
+    # must be unaffected, incl. int8 scale tiles
+    B, S, H, Hkv, D = 2, 1024, 8, 2, 64
+    q, k, v, positions, scales = _setup(B, S, H, Hkv, D, [7, 130], quantized=True)
+    ref = attention_decode(q, k, v, positions, scales)
+    got = attention_decode_pallas(q, k, v, positions, scales, ts=64, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=3e-2, atol=3e-2)
+
+
 def test_single_tile():
     B, S, H, Hkv, D = 1, 64, 4, 1, 64
     q, k, v, positions, scales = _setup(B, S, H, Hkv, D, [63])

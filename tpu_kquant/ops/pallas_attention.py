@@ -45,7 +45,7 @@ def _attn_kernel(TS, nS, scale, quantized, *refs):
         m_scr[:] = jnp.full_like(m_scr, _NEG_INF)
         l_scr[:] = jnp.zeros_like(l_scr)
 
-    q_pos = qpos_ref[0, 0]
+    q_pos = qpos_ref[pl.program_id(0)]
     tile_start = s_idx * TS
 
     @pl.when(tile_start <= q_pos)
@@ -101,32 +101,44 @@ def _attn_call(q, k, v, q_pos, k_scale, v_scale, scale, ts, interpret):
     kt = k
     vt = v
 
-    qpos_spec = pl.BlockSpec((1, 1), lambda b, h, s: (b, 0), memory_space=pltpu.SMEM)
-    q_spec = pl.BlockSpec((1, 1, G, D), lambda b, h, s: (b, h, 0, 0), memory_space=pltpu.VMEM)
-    kv_spec = pl.BlockSpec((1, 1, TS, D), lambda b, h, s: (b, h, s, 0), memory_space=pltpu.VMEM)
-    in_specs = [qpos_spec, q_spec, kv_spec, kv_spec]
-    inputs = [q_pos[:, None].astype(jnp.int32), q, kt, vt]
+    # DMA-skipping for dead KV tiles: q_pos rides scalar prefetch so the
+    # tile index map can clamp s to the last live tile (tiles past q_pos
+    # re-request the SAME block index; Mosaic elides the repeat DMA). The
+    # compute for those steps is already skipped by the tile_start <= q_pos
+    # guard in the kernel, so dead cache slots now cost neither HBM
+    # bandwidth nor MXU work — only empty grid steps.
+    def live(b, s, qp):
+        return jnp.minimum(s, qp[b] // TS)
+
+    q_spec = pl.BlockSpec((1, 1, G, D), lambda b, h, s, qp: (b, h, 0, 0), memory_space=pltpu.VMEM)
+    kv_spec = pl.BlockSpec((1, 1, TS, D), lambda b, h, s, qp: (b, h, live(b, s, qp), 0), memory_space=pltpu.VMEM)
+    in_specs = [q_spec, kv_spec, kv_spec]
+    inputs = [q, kt, vt]
     if quantized:
         kst = k_scale[:, :, None, :]  # [B, Hkv, 1, S]
         vst = v_scale[:, :, None, :]
-        kspec = pl.BlockSpec((1, 1, 1, TS), lambda b, h, s: (b, h, 0, s), memory_space=pltpu.VMEM)
+        kspec = pl.BlockSpec((1, 1, 1, TS), lambda b, h, s, qp: (b, h, 0, live(b, s, qp)), memory_space=pltpu.VMEM)
         in_specs += [kspec, kspec]
         inputs += [kst, vst]
 
     kernel = functools.partial(_attn_kernel, TS, nS, scale, quantized)
-    out = pl.pallas_call(
-        kernel,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(B, Hkv, nS),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, 1, G, D), lambda b, h, s: (b, h, 0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, Hkv, G, D), q.dtype),
+        out_specs=pl.BlockSpec((1, 1, G, D), lambda b, h, s, qp: (b, h, 0, 0), memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((G, D), jnp.float32),
             pltpu.VMEM((G, 1), jnp.float32),
             pltpu.VMEM((G, 1), jnp.float32),
         ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Hkv, G, D), q.dtype),
         interpret=interpret,
-    )(*inputs)
+    )(q_pos.astype(jnp.int32), *inputs)
     return out
 
 

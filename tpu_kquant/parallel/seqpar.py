@@ -175,12 +175,15 @@ def ring_attention(
               .reshape(B, Hkv, G * Tl, D).astype(jnp.float32) * scale)
         # fresh accumulators are unvarying; mark them device-varying over
         # 'seq' so the fori_loop carry type matches the body's outputs
-        m = jax.lax.pvary(
-            jnp.full((B, Hkv, G * Tl, 1), _NEG_INF, jnp.float32), ("seq",))
-        l = jax.lax.pvary(
-            jnp.zeros((B, Hkv, G * Tl, 1), jnp.float32), ("seq",))
-        acc = jax.lax.pvary(
-            jnp.zeros((B, Hkv, G * Tl, D), jnp.float32), ("seq",))
+        m = jax.lax.pcast(
+            jnp.full((B, Hkv, G * Tl, 1), _NEG_INF, jnp.float32), ("seq",),
+            to="varying")
+        l = jax.lax.pcast(
+            jnp.zeros((B, Hkv, G * Tl, 1), jnp.float32), ("seq",),
+            to="varying")
+        acc = jax.lax.pcast(
+            jnp.zeros((B, Hkv, G * Tl, D), jnp.float32), ("seq",),
+            to="varying")
         # the visiting block's key positions: start from OUR shard's
         pos_k0 = pos_q
 
