@@ -56,7 +56,9 @@ def main():
     ap.add_argument("--impl", default="auto", choices=["auto", "xla", "pallas", "int8"])
     ap.add_argument("--scale-dtype", default="bf16", choices=["bf16", "f32", "f16"],
                     help="per-group scale/min storage (bf16 = fewer bytes/weight)")
-    ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--reps", type=int, default=5,
+                    help="timed repetitions (compile warmup excluded; "
+                         "mean±σ + median reported, reference README style)")
     args = ap.parse_args()
 
     import jax
@@ -98,6 +100,27 @@ def main():
         full-array fetch would bill the slow host link to the kernel.)"""
         return float(jnp.sum(x.astype(jnp.float32)))
 
+    half = args.tg // 2
+
+    # --- compile warmup, EXCLUDED from stats (reference README.md:190-196
+    # reports mean±σ over timed reps only; rep 0 with compile would be junk).
+    # Compiles: prefill bucket, both decode-loop lengths.
+    warm_prompt = rng.integers(10, cfg.vocab_size, args.pp).tolist()
+    cache = eng.new_cache(B)
+    jax.block_until_ready(cache)
+    t0 = time.time()
+    logits, cache, lens = eng.prefill([warm_prompt] * B, cache)
+    _sync(logits)
+    log(f"warmup prefill (incl. compile): {time.time() - t0:.1f}s")
+    tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    pos = jnp.asarray(lens)
+    t0 = time.time()
+    toks, cache = eng.decode_greedy_jit(tok, pos, cache, half)
+    _sync(toks)
+    toks, cache = eng.decode_greedy_jit(toks[:, -1], pos + half, cache, args.tg)
+    _sync(toks)
+    log(f"warmup decode loops (incl. compile): {time.time() - t0:.1f}s")
+
     results = {}
     for rep in range(args.reps):
         # fresh random prompt every rep (the tunneled device memoizes
@@ -120,20 +143,8 @@ def main():
         # per-dispatch cost (the tunneled dev setup adds ~22 ms RTT that a
         # real TPU VM does not have) cancels in the difference. The wall-clock
         # rate of the full tg loop is logged alongside. ---
-        half = args.tg // 2
         tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         pos = jnp.asarray(lens)
-        if rep == 0:  # compile both loop lengths, then restart from a fresh
-            # prefill so timed decodes run at the same positions every rep
-            toks, cache = eng.decode_greedy_jit(tok, pos, cache, half)
-            _sync(toks)
-            toks, cache = eng.decode_greedy_jit(
-                toks[:, -1], pos + half, cache, args.tg)
-            _sync(toks)
-            cache = eng.new_cache(B)
-            logits, cache, lens = eng.prefill(rows, cache)
-            tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-            pos = jnp.asarray(lens)
         t0 = time.time()
         toks, cache = eng.decode_greedy_jit(tok, pos, cache, half)
         _sync(toks)
@@ -150,11 +161,16 @@ def main():
         results.setdefault("pp", []).append(pp_tps)
         results.setdefault("tg", []).append(tg_tps)
 
-    # median: the marginal rate is a difference of two timings, so its spread
-    # is wider than a plain wall rate — max would report the noise tail
+    # median headline: the marginal rate is a difference of two timings, so
+    # its spread is wider than a plain wall rate; mean±σ logged alongside
+    # (the reference's llama-bench format, README.md:190-196)
     tg = float(np.median(results["tg"]))
+    tg_mean, tg_std = float(np.mean(results["tg"])), float(np.std(results["tg"]))
+    pp_mean, pp_std = float(np.mean(results["pp"])), float(np.std(results["pp"]))
     pp = max(results["pp"])
-    log(f"best: pp512 {pp:.1f} t/s; tg128 median {tg:.1f} t/s over {args.reps} reps")
+    log(f"pp{args.pp}: {pp_mean:.1f} ± {pp_std:.1f} t/s   "
+        f"tg{args.tg}: {tg_mean:.1f} ± {tg_std:.1f} t/s marginal "
+        f"(median {tg:.1f}) over {args.reps} reps")
     try:
         from tpu_kquant.utils.roofline import roofline_report
 
@@ -171,6 +187,9 @@ def main():
         "value": round(tg, 2),
         "unit": "tok/s",
         "vs_baseline": round(tg / BASELINE_TG128, 2),
+        "mean": round(tg_mean, 2), "stddev": round(tg_std, 2),
+        "pp_mean": round(pp_mean, 2), "pp_stddev": round(pp_std, 2),
+        "reps": args.reps,
     }))
 
 

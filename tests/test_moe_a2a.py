@@ -73,6 +73,31 @@ def test_a2a_capacity_drop(moe_model):
     assert np.isfinite(np.asarray(out)).all()
 
 
+def test_a2a_default_capacity_lossless_under_skew(moe_model):
+    """DEFAULT capacity_factor (E/top_k -> C = n_local) must drop nothing
+    even when EVERY token routes to the same two experts — the inference
+    guarantee VERDICT item 6 asks for: the default cannot alter outputs."""
+    from tpu_kquant.models.moe import moe_ffn
+    from tpu_kquant.models.moe_a2a import moe_ffn_a2a
+    from tpu_kquant.quant.qtensor import QTensor
+
+    mesh = make_mesh(expert=4)
+    cfg, params, _ = load_model(moe_model, put=make_param_put(mesh, "a2a"))
+    layer = dict(params["layers"][0])
+    # adversarial router: every token's top-2 = experts {0, 1}
+    w = np.full((cfg.n_experts, cfg.dim), -8.0, np.float32)
+    w[0, :] = 8.0 / cfg.dim
+    w[1, :] = 4.0 / cfg.dim
+    layer["gate_inp"] = QTensor("dense", "dense", w.shape, {"w": jnp.asarray(w)})
+    rng = np.random.default_rng(3)
+    h = jnp.asarray(np.abs(rng.normal(size=(2, 16, cfg.dim))).astype(np.float32))
+
+    loop = moe_ffn(layer, dataclasses.replace(cfg, moe_impl="loop"), h, "xla")
+    a2a = moe_ffn_a2a(layer, cfg, h, mesh, impl="xla")  # default capacity
+    np.testing.assert_allclose(np.asarray(loop), np.asarray(a2a),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_a2a_engine_generate_matches(moe_model):
     cfg0, params0, _ = load_model(moe_model)
     eng0 = InferenceEngine(cfg0, params0, max_batch=2, max_seq=64, impl="xla")

@@ -13,8 +13,12 @@ weighted gather reassembles the output.
 Static shapes throughout (XLA requirement): per-expert capacity
 C = ceil(top_k * n_local / E * capacity_factor); tokens routed past an
 expert's capacity are dropped (their combine weight contributes zero) —
-the standard GShard/Switch overflow semantics. capacity_factor >= E/top_k
-guarantees zero drops (used by the parity tests).
+the standard GShard/Switch overflow semantics. That drop convention is a
+TRAINING artifact; in inference a drop silently changes model outputs, so
+the DEFAULT capacity_factor is E/top_k, i.e. C = n_local: each token
+contributes at most one slot per expert, so even adversarially skewed
+routing (every token's top-1 on the same expert) cannot drop. Pass a
+smaller capacity_factor only when you can tolerate approximate outputs.
 """
 
 from __future__ import annotations
@@ -39,10 +43,12 @@ def moe_ffn_a2a(
     h: jnp.ndarray,  # [B, T, dim] (already ffn-normed)
     mesh: Mesh,
     impl: str = "auto",
-    capacity_factor: float = 2.0,
+    capacity_factor: float | None = None,
 ) -> jnp.ndarray:
     ep = mesh.shape["expert"]
     E, top_k = cfg.n_experts, cfg.n_experts_used
+    if capacity_factor is None:
+        capacity_factor = E / top_k  # C = n_loc: lossless under any routing
     B, T, d = h.shape
     N = B * T
     n_pad = -(-N // ep) * ep  # token axis must split evenly over 'expert'

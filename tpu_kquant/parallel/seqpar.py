@@ -32,6 +32,15 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 _NEG_INF = -1e30
 
 
+def _pvary(x):
+    """Mark a freshly-created array device-varying over 'seq' so fori_loop
+    carry types match the body outputs. JAX renamed this API: pvary (<=0.8)
+    -> pcast(..., to='varying') (0.9+); support both."""
+    if hasattr(jax.lax, "pcast"):
+        return jax.lax.pcast(x, ("seq",), to="varying")
+    return jax.lax.pvary(x, ("seq",))
+
+
 def make_seq_mesh(seq: int, model: int = 1, devices=None) -> Mesh:
     """('seq', 'model') mesh: ring neighbors adjacent on ICI."""
     import numpy as np
@@ -175,15 +184,9 @@ def ring_attention(
               .reshape(B, Hkv, G * Tl, D).astype(jnp.float32) * scale)
         # fresh accumulators are unvarying; mark them device-varying over
         # 'seq' so the fori_loop carry type matches the body's outputs
-        m = jax.lax.pcast(
-            jnp.full((B, Hkv, G * Tl, 1), _NEG_INF, jnp.float32), ("seq",),
-            to="varying")
-        l = jax.lax.pcast(
-            jnp.zeros((B, Hkv, G * Tl, 1), jnp.float32), ("seq",),
-            to="varying")
-        acc = jax.lax.pcast(
-            jnp.zeros((B, Hkv, G * Tl, D), jnp.float32), ("seq",),
-            to="varying")
+        m = _pvary(jnp.full((B, Hkv, G * Tl, 1), _NEG_INF, jnp.float32))
+        l = _pvary(jnp.zeros((B, Hkv, G * Tl, 1), jnp.float32))
+        acc = _pvary(jnp.zeros((B, Hkv, G * Tl, D), jnp.float32))
         # the visiting block's key positions: start from OUR shard's
         pos_k0 = pos_q
 
