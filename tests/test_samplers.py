@@ -37,6 +37,48 @@ def test_presence_and_frequency_penalties():
     np.testing.assert_allclose(out[0], [1.0 - 0.5 - 0.3, 1.0 - 0.5 - 0.1, 1.0])
 
 
+def test_fused_sampled_loop_matches_host_stepped(tmp_path):
+    """The on-device fused sampled decode loop (engine.decode_sampled_jit,
+    used by generate) must produce EXACTLY the token stream of a host-stepped
+    loop driving sample_step + decode_step with the same key sequence —
+    sampler chain + penalties included."""
+    from tpu_kquant.models.fixtures import tiny_config, write_fixture_gguf
+    from tpu_kquant.ops.sampling import (
+        SamplerConfig, init_penalty_state, sample_step)
+    from tpu_kquant.runtime import InferenceEngine, load_model
+
+    path = tmp_path / "f.gguf"
+    cfg = tiny_config(n_layers=2, dim=64, n_heads=4, n_kv_heads=2, ffn_dim=128,
+                      vocab_size=512)
+    write_fixture_gguf(path, cfg, seed=3, scale=0.08)
+    cfg, params, _ = load_model(str(path))
+    eng = InferenceEngine(cfg, params, max_batch=2, max_seq=64, impl="xla")
+    prompts = [[3, 5, 7], [11, 13]]
+    sc = SamplerConfig(temperature=0.9, top_k=40, top_p=0.95, min_p=0.02,
+                       repeat_penalty=1.2, penalty_last_n=32)
+    N = 12
+
+    # host-stepped oracle
+    cache = eng.new_cache(2)
+    logits, cache, lens = eng.prefill(prompts, cache)
+    key = jax.random.PRNGKey(7)
+    pstate = init_penalty_state(prompts, cfg.vocab_size, sc.penalty_last_n)
+    pos = jnp.asarray(lens)
+    stepped = []
+    for _ in range(N):
+        tok, key, pstate = sample_step(jnp.asarray(logits), key, sc, pstate)
+        stepped.append(np.asarray(tok))
+        logits, cache = eng.decode_step(tok, pos, cache)
+        pos = pos + 1
+    stepped = np.stack(stepped, axis=1)  # [B, N]
+
+    # fused path (same seed): generate() routes through decode_sampled_jit
+    fused = eng.generate(prompts, max_new_tokens=N, temperature=0.9, top_k=40,
+                         top_p=0.95, min_p=0.02, repeat_penalty=1.2,
+                         penalty_last_n=32, seed=7)
+    assert [list(r) for r in stepped] == fused
+
+
 def test_generate_repeat_penalty_breaks_loops(tmp_path):
     """A random tiny model greedy-decodes into a short cycle; a strong repeat
     penalty must break the cycle."""

@@ -6,8 +6,104 @@ serving needs the standard sampler stack, implemented with static shapes.
 
 from __future__ import annotations
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class SamplerConfig:
+    """Hashable sampler settings — static under jit, so the fused decode loop
+    compiles once per sampler configuration (llama.cpp's sampler-chain params:
+    temp -> penalties -> min_p -> top_k -> top_p -> dist)."""
+
+    temperature: float = 0.0
+    top_k: int = 0
+    top_p: float = 1.0
+    min_p: float = 0.0
+    repeat_penalty: float = 1.0
+    presence_penalty: float = 0.0
+    frequency_penalty: float = 0.0
+    penalty_last_n: int = 64
+
+    @property
+    def uses_penalties(self) -> bool:
+        return (
+            self.repeat_penalty != 1.0
+            or self.presence_penalty != 0.0
+            or self.frequency_penalty != 0.0
+        ) and self.penalty_last_n != 0
+
+    @property
+    def is_greedy(self) -> bool:
+        return self.temperature <= 0.0
+
+
+def init_penalty_state(
+    prompts: list[list[int]], vocab_size: int, last_n: int
+):
+    """Build on-device penalty state from prompt tails: occurrence counts
+    [B, V] over each row's last ``last_n`` tokens, the window ring [B, last_n]
+    itself, per-row ring write index [B] and fill count [B]."""
+    import numpy as np
+
+    B = len(prompts)
+    counts = np.zeros((B, vocab_size), np.int32)
+    window = np.zeros((B, last_n), np.int32)
+    widx = np.zeros(B, np.int32)
+    nfill = np.zeros(B, np.int32)
+    for b, p in enumerate(prompts):
+        tail = p[-last_n:]
+        for t in tail:
+            counts[b, t] += 1
+        window[b, : len(tail)] = tail
+        widx[b] = len(tail) % last_n
+        nfill[b] = len(tail)
+    return (jnp.asarray(counts), jnp.asarray(window), jnp.asarray(widx),
+            jnp.asarray(nfill))
+
+
+def update_penalty_state(state, tok: jnp.ndarray):
+    """Admit newly sampled tokens [B] into the sliding window (jit-safe):
+    evict the overwritten slot's token from the counts when the window is
+    full, then count + record the new token."""
+    counts, window, widx, nfill = state
+    B = tok.shape[0]
+    last_n = window.shape[1]
+    rows = jnp.arange(B)
+    old = window[rows, widx]
+    evict = (nfill >= last_n).astype(jnp.int32)
+    counts = counts.at[rows, old].add(-evict)
+    counts = counts.at[rows, tok].add(1)
+    window = window.at[rows, widx].set(tok)
+    widx = (widx + 1) % last_n
+    nfill = jnp.minimum(nfill + 1, last_n)
+    return counts, window, widx, nfill
+
+
+def sample_step(
+    logits: jnp.ndarray,  # [B, V] f32
+    key: jax.Array,
+    sc: SamplerConfig,
+    penalty_state=None,
+):
+    """One full sampler-chain step (jit-safe; sc static). Returns
+    (tokens [B], new_key, new_penalty_state)."""
+    logits = logits.astype(jnp.float32)
+    if sc.uses_penalties:
+        logits = apply_penalties(
+            logits, penalty_state[0], sc.repeat_penalty,
+            sc.presence_penalty, sc.frequency_penalty,
+        )
+    if sc.is_greedy:
+        tok = greedy(logits)
+    else:
+        key, sub = jax.random.split(key)
+        tok = sample(logits, sub, sc.temperature, sc.top_k, sc.top_p, sc.min_p)
+    if sc.uses_penalties:
+        penalty_state = update_penalty_state(penalty_state, tok)
+    return tok, key, penalty_state
 
 
 def greedy(logits: jnp.ndarray) -> jnp.ndarray:

@@ -23,7 +23,13 @@ import numpy as np
 
 from tpu_kquant.models.config import ModelConfig
 from tpu_kquant.models.llama import llama_forward
-from tpu_kquant.ops.sampling import greedy, sample
+from tpu_kquant.ops.sampling import (
+    SamplerConfig,
+    greedy,
+    init_penalty_state,
+    sample,
+    sample_step,
+)
 from tpu_kquant.runtime.kv_cache import KVCache
 
 PREFILL_BUCKETS = (16, 32, 64, 128, 256, 512, 1024, 2048)
@@ -122,6 +128,38 @@ class InferenceEngine:
             return toks.T, cache  # [B, n_steps]
 
         self._decode_loop = _decode_loop
+
+        @partial(jax.jit, donate_argnums=(3,), static_argnums=(4, 5))
+        def _decode_loop_sampled(params, first_tok, start_pos, cache, n_steps,
+                                 sc: SamplerConfig, key, penalty_state):
+            """The fused decode loop with the FULL sampler chain on-device
+            (temp/top-k/top-p/min-p + repeat/presence/frequency penalties over
+            a sliding last-n window): non-greedy generation stops paying a
+            host round-trip per token. sc is static — one executable per
+            sampler configuration."""
+
+            def body(carry, _):
+                tok, pos, cache, key, pstate = carry
+                logits, cache = fwd(
+                    params, cfg, tok[:, None], pos[:, None], cache,
+                    logits_last_only=True,
+                )
+                ntok, key, pstate = sample_step(logits[:, 0, :], key, sc, pstate)
+                return (ntok, pos + 1, cache, key, pstate), ntok
+
+            (tok, pos, cache, key, pstate), toks = jax.lax.scan(
+                body, (first_tok, start_pos, cache, key, penalty_state),
+                length=n_steps,
+            )
+            return toks.T, cache, key, pstate  # toks [B, n_steps]
+
+        self._decode_loop_sampled = _decode_loop_sampled
+
+        @partial(jax.jit, static_argnums=(2,))
+        def _sample_first(logits, key, sc: SamplerConfig, penalty_state):
+            return sample_step(logits, key, sc, penalty_state)
+
+        self._sample_first = _sample_first
 
         from tpu_kquant.runtime.kv_cache import set_batch_row, slice_batch_row
 
@@ -255,6 +293,17 @@ class InferenceEngine:
         on-device (single dispatch)."""
         return self._decode_loop(self.params, first_tok, start_pos, cache, n_steps)
 
+    def decode_sampled_jit(self, first_tok: jnp.ndarray, start_pos: jnp.ndarray,
+                           cache: KVCache, n_steps: int, sc: SamplerConfig,
+                           key, penalty_state=None):
+        """Fused sampled decode: [B] first tokens -> ([B, n_steps] tokens,
+        cache, key, penalty_state); the full sampler chain runs inside the
+        on-device lax.scan (single dispatch, like decode_greedy_jit)."""
+        return self._decode_loop_sampled(
+            self.params, first_tok, start_pos, cache, n_steps, sc, key,
+            penalty_state,
+        )
+
     def shift_context(self, cache: KVCache, positions, n_keep: int, n_discard: int):
         """Discard positions [n_keep, n_keep + n_discard) from every row and
         slide the tail down (K re-rotated in place). Returns (cache,
@@ -341,67 +390,70 @@ class InferenceEngine:
         generation is clamped to the KV capacity.
 
         repeat/presence/frequency penalties follow llama.cpp's penalties
-        sampler over the last penalty_last_n context tokens."""
-        from tpu_kquant.ops.sampling import apply_penalties
+        sampler over the last penalty_last_n context tokens.
 
+        Without context_shift the whole generation (sampler chain included)
+        runs as ONE fused on-device lax.scan — no host round-trip per token;
+        eos truncation happens on host afterwards. The host-stepped loop
+        remains only for context_shift (a host-decided cache mutation)."""
+        sc = SamplerConfig(
+            temperature=temperature, top_k=top_k, top_p=top_p, min_p=min_p,
+            repeat_penalty=repeat_penalty, presence_penalty=presence_penalty,
+            frequency_penalty=frequency_penalty, penalty_last_n=penalty_last_n,
+        )
         B = len(prompts)
         cache = self.new_cache(B)
         logits, cache, lens = self.prefill(prompts, cache)
         key = jax.random.PRNGKey(seed)
         positions = jnp.asarray(lens)  # next position per row
-        out: list[list[int]] = [[] for _ in range(B)]
-        done = np.zeros(B, bool)
-        tok = None
-        use_penalties = (
-            repeat_penalty != 1.0
-            or presence_penalty != 0.0
-            or frequency_penalty != 0.0
-        ) and penalty_last_n != 0
-        if use_penalties:
-            # occurrence counts over a sliding window of the last
-            # penalty_last_n context tokens, per row (prompt tail included)
-            from collections import deque
-
-            windows = [
-                deque(p[-penalty_last_n:], maxlen=penalty_last_n) for p in prompts
-            ]
-            counts = np.zeros((B, self.cfg.vocab_size), np.int32)
-            for b, w in enumerate(windows):
-                for t in w:
-                    counts[b, t] += 1
+        pstate = (
+            init_penalty_state(prompts, self.cfg.vocab_size, sc.penalty_last_n)
+            if sc.uses_penalties else None
+        )
         if not context_shift:
             # never decode past the KV capacity (slot p must exist to be written)
             max_new_tokens = min(max_new_tokens, self.max_seq - int(lens.max()))
-        for _ in range(max_new_tokens):
-            if use_penalties:
-                logits = apply_penalties(
-                    jnp.asarray(logits), jnp.asarray(counts), repeat_penalty,
-                    presence_penalty, frequency_penalty,
+            if max_new_tokens <= 0:
+                return [[] for _ in range(B)]
+            tok, key, pstate = self._sample_first(logits, key, sc, pstate)
+            if max_new_tokens > 1:
+                rest, cache, key, pstate = self.decode_sampled_jit(
+                    tok, positions, cache, max_new_tokens - 1, sc, key, pstate
                 )
-            if temperature <= 0.0:
-                tok = greedy(logits)
+                toks = np.concatenate(
+                    [np.asarray(tok)[:, None], np.asarray(rest)], axis=1
+                )
             else:
-                key, sub = jax.random.split(key)
-                tok = sample(logits, sub, temperature, top_k, top_p, min_p)
+                toks = np.asarray(tok)[:, None]
+            out = []
+            for i in range(B):
+                row = [int(t) for t in toks[i]]
+                if eos_id is not None and eos_id in row:
+                    row = row[: row.index(eos_id) + 1]
+                out.append(row)
+            return out
+
+        out: list[list[int]] = [[] for _ in range(B)]
+        done = np.zeros(B, bool)
+        tok = None
+        for step in range(max_new_tokens):
+            if step > 0:
+                if int(jnp.max(positions)) >= self.max_seq:
+                    n_discard = max(1, (self.max_seq - n_keep) // 2)
+                    cache, positions = self.shift_context(
+                        cache, positions, n_keep, n_discard
+                    )
+                logits, cache = self.decode_step(tok, positions, cache)
+                positions = positions + 1
+            tok, key, pstate = self._sample_first(
+                jnp.asarray(logits), key, sc, pstate
+            )
             tok_np = np.asarray(tok)
             for i in range(B):
                 if not done[i]:
                     out[i].append(int(tok_np[i]))
                     if eos_id is not None and tok_np[i] == eos_id:
                         done[i] = True
-                    if use_penalties:
-                        w = windows[i]
-                        if len(w) == penalty_last_n:
-                            counts[i, w[0]] -= 1
-                        w.append(int(tok_np[i]))
-                        counts[i, int(tok_np[i])] += 1
             if done.all():
                 break
-            if context_shift and int(jnp.max(positions)) >= self.max_seq:
-                n_discard = max(1, (self.max_seq - n_keep) // 2)
-                cache, positions = self.shift_context(
-                    cache, positions, n_keep, n_discard
-                )
-            logits, cache = self.decode_step(tok, positions, cache)
-            positions = positions + 1
         return out
