@@ -76,6 +76,60 @@ def test_staggered_admission(setup):
     assert done[1].output == w1
 
 
+def test_penalties_match_generate(setup):
+    """Greedy + penalties is deterministic: a served request must reproduce
+    engine.generate exactly (the per-request penalty window lives on-device)."""
+    cfg, params = setup
+    eng = InferenceEngine(cfg, params, max_batch=2, max_seq=64, impl="xla")
+    want = eng.generate([[3, 100, 7]], max_new_tokens=10, repeat_penalty=1e9,
+                        penalty_last_n=64)[0]
+    cb = ContinuousBatcher(eng)
+    cb.submit(Request(prompt=[3, 100, 7], max_new_tokens=10,
+                      repeat_penalty=1e9, penalty_last_n=64))
+    done = cb.run()
+    assert done[0].output == want
+
+
+def test_sampled_output_independent_of_batch_composition(setup):
+    """Per-request seeds: the same sampled request must produce the same
+    tokens whether it runs alone or shares the batch with other requests."""
+    cfg, params = setup
+    eng = InferenceEngine(cfg, params, max_batch=4, max_seq=64, impl="xla")
+
+    def serve(reqs):
+        cb = ContinuousBatcher(eng)
+        for r in reqs:
+            cb.submit(r)
+        return {r.rid: r.output for r in cb.run()}
+
+    mk = lambda: Request(prompt=[3, 100, 7], max_new_tokens=8, temperature=0.8,
+                         top_k=50, min_p=0.05, seed=1234)
+    alone = serve([mk()])
+    crowd_reqs = [Request(prompt=[9, 300], max_new_tokens=8, temperature=1.2,
+                          seed=1), mk(),
+                  Request(prompt=[250], max_new_tokens=3, temperature=0.5,
+                          seed=2)]
+    crowd = serve(crowd_reqs)
+    assert alone[0] == crowd[crowd_reqs[1].rid]
+
+
+def test_heterogeneous_sampler_params_one_batch(setup):
+    """Greedy and sampled rows share one batched sampler dispatch; the greedy
+    row must still match standalone greedy generation."""
+    cfg, params = setup
+    eng = InferenceEngine(cfg, params, max_batch=3, max_seq=64, impl="xla")
+    want = eng.generate([[3, 100, 7]], max_new_tokens=6)[0]
+    cb = ContinuousBatcher(eng)
+    cb.submit(Request(prompt=[3, 100, 7], max_new_tokens=6))  # greedy
+    cb.submit(Request(prompt=[9, 300], max_new_tokens=6, temperature=1.0,
+                      top_p=0.9, min_p=0.1, seed=5))
+    cb.submit(Request(prompt=[17, 5], max_new_tokens=6, temperature=0.7,
+                      frequency_penalty=0.5, penalty_last_n=32, seed=6))
+    done = sorted(cb.run(), key=lambda r: r.rid)
+    assert done[0].output == want
+    assert all(len(r.output) == 6 for r in done)
+
+
 def test_eos_stops_early(setup):
     cfg, params = setup
     eng = InferenceEngine(cfg, params, max_batch=2, max_seq=64, impl="xla")

@@ -1,0 +1,133 @@
+#!/usr/bin/env python
+"""Continuous-batching serving benchmark (VERDICT r1 item 7: a measured TPU
+serving number). Drives the ContinuousBatcher with a closed-loop offered load
+at batch sizes B, reporting decode tokens/s and average occupancy.
+
+The dev tunnel adds a fixed ~20 ms RTT to EVERY dispatch; serving ticks are
+host-looped, so unlike the fused-loop bench the RTT cannot be amortized away.
+We measure it directly (tiny jitted op round-trips) and report both the raw
+wall rate and the RTT-corrected rate a real TPU VM (no tunnel) would see.
+
+Usage: python tools_serve_bench.py [--preset tinyllama-1.1b] [--batch 8 16]
+"""
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def measure_rtt(reps: int = 30) -> float:
+    """Median round-trip of a trivial jitted dispatch + 4-byte fetch."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    f = jax.jit(lambda x: x + 1)
+    x = jnp.zeros((8,), jnp.float32)
+    float(jnp.sum(f(x)))  # compile
+    ts = []
+    for _ in range(reps):
+        t0 = time.time()
+        float(jnp.sum(f(x)))
+        ts.append(time.time() - t0)
+    return float(np.median(ts))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default=None)
+    ap.add_argument("--preset", default="tinyllama-1.1b",
+                    choices=["tinyllama-1.1b", "llama3-8b"])
+    ap.add_argument("--batch", type=int, nargs="+", default=[8, 16])
+    ap.add_argument("--requests", type=int, default=48,
+                    help="total requests per batch-size run")
+    ap.add_argument("--prompt-len", type=int, default=64)
+    ap.add_argument("--gen-len", type=int, default=48)
+    ap.add_argument("--temperature", type=float, default=0.8)
+    ap.add_argument("--impl", default="auto")
+    args = ap.parse_args()
+
+    import jax
+
+    cc_dir = REPO / ".cache" / "jax_cc"
+    cc_dir.mkdir(parents=True, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", str(cc_dir))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import numpy as np
+
+    from bench import get_fixture
+    from tpu_kquant.models.fixtures import llama3_8b_config, tinyllama_1b_config
+    from tpu_kquant.runtime import InferenceEngine, load_model
+    from tpu_kquant.serving import ContinuousBatcher, Request
+
+    preset_cfg = {
+        "tinyllama-1.1b": ("tinyllama-1.1b-q4_k_m", tinyllama_1b_config),
+        "llama3-8b": ("llama3-8b-q4_k_m", llama3_8b_config),
+    }[args.preset]
+    model_path = args.model or get_fixture(preset_cfg[0], preset_cfg[1]())
+    cfg, params, _ = load_model(model_path)
+    log(f"devices: {jax.devices()}  arch={cfg.arch} L={cfg.n_layers}")
+
+    rtt = measure_rtt()
+    log(f"measured dispatch RTT: {rtt*1e3:.1f} ms")
+
+    rng = np.random.default_rng(0)
+    rows = []
+    for B in args.batch:
+        max_seq = args.prompt_len + args.gen_len + 16
+        eng = InferenceEngine(cfg, params, max_batch=B, max_seq=max_seq,
+                              impl=args.impl)
+        cb = ContinuousBatcher(eng, seed=0)
+
+        def mk_req(i):
+            plen = args.prompt_len // 2 + int(rng.integers(0, args.prompt_len // 2))
+            return Request(
+                prompt=rng.integers(10, cfg.vocab_size, plen).tolist(),
+                max_new_tokens=args.gen_len,
+                temperature=args.temperature, top_k=40, top_p=0.95,
+                repeat_penalty=1.1, penalty_last_n=64, seed=1000 + i,
+            )
+
+        # warmup: compile decode + slot-prefill buckets + sampler
+        for i in range(min(2, B)):
+            cb.submit(mk_req(10_000 + i))
+        cb.run()
+        cb.stats = {k: 0 if not isinstance(v, float) else 0.0
+                    for k, v in cb.stats.items()}
+
+        for i in range(args.requests):
+            cb.submit(mk_req(i))
+        t0 = time.time()
+        done = cb.run()
+        wall = time.time() - t0
+        assert len(done) == args.requests
+        rep = cb.report()
+        ticks = rep["steps"] + rep["prefills"]
+        corrected = rep["tokens_out"] / max(wall - ticks * rtt, 1e-9)
+        log(f"B={B:3d}: {rep['tokens_out']} tokens in {wall:.1f}s = "
+            f"{rep['tokens_out']/wall:7.1f} t/s wall | {corrected:7.1f} t/s "
+            f"RTT-corrected | occupancy {rep['avg_batch_occupancy']:.1f}/{B} "
+            f"| {rep['prefills']} prefills")
+        rows.append({
+            "batch": B, "tok_s_wall": round(rep["tokens_out"] / wall, 1),
+            "tok_s_rtt_corrected": round(corrected, 1),
+            "occupancy": round(rep["avg_batch_occupancy"], 2),
+            "tokens_out": rep["tokens_out"], "requests": args.requests,
+            "rtt_ms": round(rtt * 1e3, 1),
+        })
+    print(json.dumps({"serving": rows, "preset": args.preset,
+                      "gen_len": args.gen_len, "prompt_len": args.prompt_len}))
+
+
+if __name__ == "__main__":
+    main()

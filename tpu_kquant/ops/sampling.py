@@ -82,6 +82,83 @@ def update_penalty_state(state, tok: jnp.ndarray):
     return counts, window, widx, nfill
 
 
+def apply_penalties_rows(
+    logits: jnp.ndarray,  # [B, V] f32
+    token_counts: jnp.ndarray,  # [B, V] int32
+    repeat_penalty: jnp.ndarray,  # [B] f32 (1.0 = off)
+    presence_penalty: jnp.ndarray,  # [B] f32
+    frequency_penalty: jnp.ndarray,  # [B] f32
+) -> jnp.ndarray:
+    """apply_penalties with PER-ROW traced penalty values (serving: each
+    request carries its own sampler settings). rp=1, pp=fp=0 rows are exact
+    no-ops, so heterogeneous batches need no masking."""
+    seen = token_counts > 0
+    rp = repeat_penalty[:, None]
+    penalized = jnp.where(logits > 0, logits / rp, logits * rp)
+    logits = jnp.where(seen, penalized, logits)
+    logits = logits - presence_penalty[:, None] * seen.astype(logits.dtype)
+    logits = logits - frequency_penalty[:, None] * token_counts.astype(logits.dtype)
+    return logits
+
+
+def sample_rows(
+    logits: jnp.ndarray,  # [B, V] f32
+    keys: jnp.ndarray,  # [B] stacked PRNG keys (vmap axis)
+    temperature: jnp.ndarray,  # [B] f32; <=0 -> greedy for that row
+    top_k: jnp.ndarray,  # [B] int32; 0 = off
+    top_p: jnp.ndarray,  # [B] f32; 1.0 = off
+    min_p: jnp.ndarray,  # [B] f32; 0.0 = off
+) -> jnp.ndarray:
+    """The full sampler chain with PER-ROW traced parameters and PER-ROW
+    keys, one fused dispatch for a heterogeneous serving batch. Mirrors
+    ``sample``'s order (temp -> min_p -> top_k -> top_p -> categorical);
+    rows with temperature <= 0 take the greedy argmax."""
+    V = logits.shape[-1]
+    greedy_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    l = logits / jnp.maximum(temperature, 1e-6)[:, None]
+    # min_p
+    cutoff = jnp.max(l, axis=-1, keepdims=True) + jnp.log(
+        jnp.maximum(min_p, 1e-38)
+    )[:, None]
+    l = jnp.where((min_p[:, None] > 0.0) & (l < cutoff), -jnp.inf, l)
+    # top_k
+    desc = jnp.sort(l, axis=-1)[:, ::-1]
+    kth = jnp.take_along_axis(
+        desc, jnp.clip(top_k[:, None] - 1, 0, V - 1), axis=-1
+    )
+    l = jnp.where((top_k[:, None] > 0) & (l < kth), -jnp.inf, l)
+    # top_p
+    desc = jnp.sort(l, axis=-1)[:, ::-1]
+    probs = jax.nn.softmax(desc, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    cutoff_idx = jnp.sum(cum < top_p[:, None], axis=-1)
+    cutp = jnp.take_along_axis(desc, cutoff_idx[:, None], axis=-1)
+    l = jnp.where((top_p[:, None] < 1.0) & (l < cutp), -jnp.inf, l)
+    sampled = jax.vmap(
+        lambda k, lg: jax.random.categorical(k, lg, axis=-1)
+    )(keys, l).astype(jnp.int32)
+    return jnp.where(temperature <= 0.0, greedy_tok, sampled)
+
+
+def update_penalty_state_rows(state, tok: jnp.ndarray, last_n: jnp.ndarray):
+    """update_penalty_state with PER-ROW traced window lengths [B]
+    (serving: each request has its own penalty_last_n; 0 disables — that
+    row's counts never admit tokens, so penalties are no-ops)."""
+    counts, window, widx, nfill = state
+    B = tok.shape[0]
+    rows = jnp.arange(B)
+    ln = jnp.maximum(last_n, 1)
+    on = (last_n > 0).astype(jnp.int32)
+    old = window[rows, widx]
+    evict = (nfill >= ln).astype(jnp.int32) * on
+    counts = counts.at[rows, old].add(-evict)
+    counts = counts.at[rows, tok].add(on)
+    window = window.at[rows, widx].set(jnp.where(on > 0, tok, old))
+    widx = (widx + 1) % ln
+    nfill = jnp.minimum(nfill + on, ln)
+    return counts, window, widx, nfill
+
+
 def sample_step(
     logits: jnp.ndarray,  # [B, V] f32
     key: jax.Array,

@@ -2,17 +2,23 @@
 reference's single-stream llama-bench decode (SURVEY.md 2.2 "speculative /
 multi-stream decode: NO" row; the north-star requires continuous batching).
 
-Design: a fixed pool of B batch slots over one shared KV cache. Each step:
-  1. admit queued requests into free slots via the engine's slot-prefill
-     primitive (other slots' cache state untouched),
-  2. one batched decode step for ALL slots (inactive slots run a dummy token;
-     their cache rows are dead and any garbage they write is overwritten
-     before it can ever be attended — the same argument that makes padded
-     prefill safe, see runtime.engine),
-  3. sample, detect eos / length stop, retire finished requests.
+Design: a fixed pool of B batch slots over one shared KV cache. Each tick:
+  1. one batched decode step for ALL previously-active slots (inactive slots
+     run a dummy token at pos 0; their cache rows are dead and any garbage
+     they write is overwritten before it can ever be attended — the same
+     argument that makes padded prefill safe, see runtime.engine),
+  2. admit queued requests into free slots via the engine's slot-prefill
+     primitive; their last-position logits OVERWRITE the decode logits row
+     on device (no host fetch — admission does not block the stream on a
+     logits round-trip),
+  3. ONE batched sampler dispatch covering old and new rows together, with
+     PER-ROW sampler params (temp/top-k/top-p/min-p, repeat/presence/
+     frequency penalties over per-row sliding windows) and PER-REQUEST RNG
+     keys (request.seed; outputs don't depend on batch composition),
+  4. fetch the [B] sampled ints (the tick's only host sync), emit, retire.
 
-Static shapes throughout: the decode executable never recompiles as requests
-come and go.
+Static shapes throughout: the decode and sampler executables never recompile
+as requests come and go.
 """
 
 from __future__ import annotations
@@ -26,7 +32,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tpu_kquant.ops.sampling import greedy, sample
+from tpu_kquant.ops.sampling import (
+    apply_penalties_rows,
+    sample_rows,
+    update_penalty_state_rows,
+)
 from tpu_kquant.runtime.engine import InferenceEngine
 
 
@@ -37,7 +47,13 @@ class Request:
     temperature: float = 0.0
     top_k: int = 0
     top_p: float = 1.0
+    min_p: float = 0.0
+    repeat_penalty: float = 1.0
+    presence_penalty: float = 0.0
+    frequency_penalty: float = 0.0
+    penalty_last_n: int = 64
     eos_id: int | None = None
+    seed: int | None = None  # per-request RNG; None -> scheduler seed + rid
     # filled by the scheduler
     rid: int = -1
     output: list[int] = dataclasses.field(default_factory=list)
@@ -49,18 +65,63 @@ class _Slot:
     req: Request | None = None
     pos: int = 0  # next decode position
     next_token: int = 0
+    steps: int = 0  # sampler-step counter (drives per-request key fold_in)
 
 
 class ContinuousBatcher:
+    PENALTY_WINDOW_CAP = 128  # static ring size; per-row last_n <= cap
+
     def __init__(self, engine: InferenceEngine, seed: int = 0):
         self.engine = engine
-        self.B = engine.max_batch
-        self.cache = engine.new_cache(self.B)
-        self.slots = [_Slot() for _ in range(self.B)]
+        self.B = B = engine.max_batch
+        self.cache = engine.new_cache(B)
+        self.slots = [_Slot() for _ in range(B)]
         self.queue: deque[Request] = deque()
         self.finished: list[Request] = []
         self._rid = itertools.count()
-        self._key = jax.random.PRNGKey(seed)
+        self._seed = seed
+        V = engine.cfg.vocab_size
+        W = self.PENALTY_WINDOW_CAP
+        # host-side per-slot sampler params (tiny [B] arrays, re-sent per tick)
+        self._temps = np.zeros(B, np.float32)
+        self._top_ks = np.zeros(B, np.int32)
+        self._top_ps = np.ones(B, np.float32)
+        self._min_ps = np.zeros(B, np.float32)
+        self._rps = np.ones(B, np.float32)
+        self._pps = np.zeros(B, np.float32)
+        self._fps = np.zeros(B, np.float32)
+        self._last_ns = np.zeros(B, np.int32)
+        self._base_keys = np.zeros((B, 2), np.uint32)
+        # device-side penalty state (counts/window/widx/nfill), reset per-row
+        # at admission
+        self._pstate = (
+            jnp.zeros((B, V), jnp.int32),
+            jnp.zeros((B, W), jnp.int32),
+            jnp.zeros(B, jnp.int32),
+            jnp.zeros(B, jnp.int32),
+        )
+
+        @jax.jit
+        def _serve_sample(logits, base_keys, steps, temps, top_ks, top_ps,
+                          min_ps, rps, pps, fps, last_ns, pstate):
+            keys = jax.vmap(jax.random.fold_in)(base_keys, steps)
+            l = apply_penalties_rows(
+                logits.astype(jnp.float32), pstate[0], rps, pps, fps
+            )
+            tok = sample_rows(l, keys, temps, top_ks, top_ps, min_ps)
+            pstate = update_penalty_state_rows(pstate, tok, last_ns)
+            return tok, pstate
+
+        self._serve_sample = _serve_sample
+
+        @jax.jit
+        def _reset_pstate_row(pstate, b, counts, window, widx, nfill):
+            c, w, i, n = pstate
+            return (c.at[b].set(counts), w.at[b].set(window),
+                    i.at[b].set(widx), n.at[b].set(nfill))
+
+        self._reset_pstate_row = _reset_pstate_row
+
         # observability (reference analog: llama-bench t/s tables + timers)
         self.stats = {
             "steps": 0, "prefills": 0, "tokens_out": 0, "tokens_in": 0,
@@ -78,6 +139,8 @@ class ContinuousBatcher:
     # -- public API ------------------------------------------------------------
     def submit(self, req: Request) -> int:
         req.rid = next(self._rid)
+        if req.penalty_last_n > self.PENALTY_WINDOW_CAP:
+            req.penalty_last_n = self.PENALTY_WINDOW_CAP
         self.queue.append(req)
         return req.rid
 
@@ -100,59 +163,64 @@ class ContinuousBatcher:
         import time as _time
 
         t_start = _time.time()
-        # 1. admit new requests into free slots
+        # 1. batched decode step for previously-active slots
+        had_active = self.active > 0
+        if had_active:
+            toks = np.zeros(self.B, np.int32)
+            poss = np.zeros(self.B, np.int32)
+            for b, slot in enumerate(self.slots):
+                if slot.req is not None:
+                    toks[b] = slot.next_token
+                    poss[b] = slot.pos
+            logits, self.cache = self.engine.decode_step(
+                jnp.asarray(toks), jnp.asarray(poss), self.cache
+            )
+            for slot in self.slots:
+                if slot.req is not None:
+                    slot.pos += 1
+        else:
+            logits = jnp.zeros(
+                (self.B, self.engine.cfg.vocab_size), jnp.float32
+            )
+
+        # 2. admit queued requests into free slots (device-side logits splice;
+        # no host round-trip per admission)
+        admitted = []
         for b, slot in enumerate(self.slots):
             if slot.req is None and self.queue:
                 req = self.queue.popleft()
-                logits, self.cache = self.engine.prefill_slot(
+                row_logits, self.cache = self.engine.prefill_slot(
                     req.prompt, self.cache, b
                 )
+                logits = logits.at[b].set(row_logits.astype(jnp.float32))
                 self.stats["prefills"] += 1
                 self.stats["tokens_in"] += len(req.prompt)
-                tok = int(np.asarray(self._sample(logits[None, :], req)[0]))
                 slot.req = req
                 slot.pos = len(req.prompt)
-                slot.next_token = tok
-                self._emit(req, tok, on_token)
-                if req.done:
-                    self._retire(b)
+                slot.steps = 0
+                self._set_slot_params(b, req)
+                admitted.append(b)
         if self.active == 0:
             return
 
-        # 2. batched decode step (dummy token/pos 0 for inactive slots)
-        toks = np.zeros(self.B, np.int32)
-        poss = np.zeros(self.B, np.int32)
-        for b, slot in enumerate(self.slots):
-            if slot.req is not None:
-                toks[b] = slot.next_token
-                poss[b] = slot.pos
-        logits, self.cache = self.engine.decode_step(
-            jnp.asarray(toks), jnp.asarray(poss), self.cache
+        # 3. one batched sampler dispatch (per-row params + per-request keys)
+        steps = np.array([s.steps for s in self.slots], np.uint32)
+        tok_dev, self._pstate = self._serve_sample(
+            logits, jnp.asarray(self._base_keys), jnp.asarray(steps),
+            jnp.asarray(self._temps), jnp.asarray(self._top_ks),
+            jnp.asarray(self._top_ps), jnp.asarray(self._min_ps),
+            jnp.asarray(self._rps), jnp.asarray(self._pps),
+            jnp.asarray(self._fps), jnp.asarray(self._last_ns), self._pstate,
         )
+        sampled = np.asarray(tok_dev)  # the tick's only host sync
 
-        # 3. sample / retire
-        sampled = {}
-        by_cfg: dict[tuple, list[int]] = {}
-        for b, slot in enumerate(self.slots):
-            if slot.req is not None:
-                cfgk = (slot.req.temperature, slot.req.top_k, slot.req.top_p)
-                by_cfg.setdefault(cfgk, []).append(b)
-        for (_t, _k, _p), rows in by_cfg.items():
-            sub = logits[np.asarray(rows)]
-            if _t <= 0.0:
-                out = greedy(sub)
-            else:
-                self._key, sk = jax.random.split(self._key)
-                out = sample(sub, sk, _t, _k, _p)
-            for r, t in zip(rows, np.asarray(out)):
-                sampled[r] = int(t)
-
+        # 4. emit / retire
         for b, slot in enumerate(self.slots):
             req = slot.req
             if req is None:
                 continue
-            slot.pos += 1
-            tok = sampled[b]
+            slot.steps += 1
+            tok = int(sampled[b])
             slot.next_token = tok
             self._emit(req, tok, on_token)
             if req.done or slot.pos + 1 >= self.engine.max_seq:
@@ -165,11 +233,39 @@ class ContinuousBatcher:
         self.stats["wall_s"] += _time.time() - t_start
 
     # -- helpers ---------------------------------------------------------------
-    def _sample(self, logits, req: Request):
-        if req.temperature <= 0.0:
-            return greedy(logits)
-        self._key, sk = jax.random.split(self._key)
-        return sample(logits, sk, req.temperature, req.top_k, req.top_p)
+    def _set_slot_params(self, b: int, req: Request) -> None:
+        self._temps[b] = req.temperature
+        self._top_ks[b] = req.top_k
+        self._top_ps[b] = req.top_p
+        self._min_ps[b] = req.min_p
+        self._rps[b] = req.repeat_penalty
+        self._pps[b] = req.presence_penalty
+        self._fps[b] = req.frequency_penalty
+        uses_pen = (
+            req.repeat_penalty != 1.0
+            or req.presence_penalty != 0.0
+            or req.frequency_penalty != 0.0
+        ) and req.penalty_last_n > 0
+        last_n = req.penalty_last_n if uses_pen else 0
+        self._last_ns[b] = last_n
+        seed = req.seed if req.seed is not None else self._seed + 7919 * req.rid
+        self._base_keys[b] = np.asarray(jax.random.PRNGKey(seed))
+        # penalty window primed from the prompt tail (llama.cpp semantics)
+        W = self.PENALTY_WINDOW_CAP
+        counts = np.zeros(self.engine.cfg.vocab_size, np.int32)
+        window = np.zeros(W, np.int32)
+        widx = nfill = 0
+        if last_n > 0:
+            tail = req.prompt[-last_n:]
+            for t in tail:
+                counts[t] += 1
+            window[: len(tail)] = tail
+            widx = len(tail) % last_n
+            nfill = len(tail)
+        self._pstate = self._reset_pstate_row(
+            self._pstate, jnp.int32(b), jnp.asarray(counts),
+            jnp.asarray(window), jnp.int32(widx), jnp.int32(nfill),
+        )
 
     def _emit(self, req: Request, tok: int, on_token):
         self.stats["tokens_out"] += 1
