@@ -2,13 +2,49 @@
 
 Rank-ordered pair merging over the GGUF-embedded ``tokenizer.ggml.merges``
 list, with the gpt2 byte<->unicode mapping so every byte sequence tokenizes.
-Pre-tokenization uses a llama-3-style splitter implemented with unicodedata
-(the environment's ``re`` lacks \\p classes).
+Pre-tokenization uses the EXACT per-family splitter regex (selected by the
+GGUF ``tokenizer.ggml.pre`` key, mirroring llama.cpp's
+LLAMA_VOCAB_PRE_TYPE dispatch) via the ``regex`` module's \\p classes; a
+unicodedata-based approximation remains as fallback for environments
+without ``regex``.
 """
 
 from __future__ import annotations
 
 import unicodedata
+
+try:
+    import regex as _regex
+except ImportError:  # pragma: no cover
+    _regex = None
+
+# the canonical pre-tokenizer patterns (llama.cpp llama-vocab.cpp /
+# the models' tokenizer.json "Split" pre-tokenizers)
+PRE_PATTERNS: dict[str, str] = {
+    "llama3": (
+        r"(?i:'s|'t|'re|'ve|'m|'ll|'d)|[^\r\n\p{L}\p{N}]?\p{L}+|\p{N}{1,3}"
+        r"| ?[^\s\p{L}\p{N}]+[\r\n]*|\s*[\r\n]+|\s+(?!\S)|\s+"
+    ),
+    "gpt2": (
+        r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+        r"|\s+(?!\S)|\s+"
+    ),
+    "qwen2": (
+        r"(?i:'s|'t|'re|'ve|'m|'ll|'d)|[^\r\n\p{L}\p{N}]?\p{L}+|\p{N}"
+        r"| ?[^\s\p{L}\p{N}]+[\r\n]*|\s*[\r\n]+|\s+(?!\S)|\s+"
+    ),
+}
+PRE_ALIASES = {"llama-bpe": "llama3", "llama-v3": "llama3", "default": "llama3",
+               "gpt-2": "gpt2", "qwen2.5": "qwen2"}
+_PRE_COMPILED: dict[str, "object"] = {}
+
+
+def _compiled(pre: str):
+    pat = _PRE_COMPILED.get(pre)
+    if pat is None and _regex is not None:
+        pat = _regex.compile(PRE_PATTERNS[pre])
+        _PRE_COMPILED[pre] = pat
+    return pat
 
 
 def bytes_to_unicode() -> dict[int, str]:
@@ -36,7 +72,20 @@ def _is_digit(c: str) -> bool:
     return unicodedata.category(c).startswith("Nd")
 
 
-def pretokenize(text: str) -> list[str]:
+def pretokenize(text: str, pre: str = "llama3") -> list[str]:
+    """Split ``text`` with the EXACT pre-tokenizer regex of family ``pre``
+    (llama3 / gpt2 / qwen2). Falls back to a unicodedata approximation of
+    the llama-3 splitter when the ``regex`` module is unavailable."""
+    pre = PRE_ALIASES.get(pre, pre)
+    if pre not in PRE_PATTERNS:
+        pre = "llama3"
+    pat = _compiled(pre)
+    if pat is not None:
+        return pat.findall(text)
+    return _pretokenize_approx(text)
+
+
+def _pretokenize_approx(text: str) -> list[str]:
     """Approximation of the llama-3 regex splitter: contractions, letter
     runs (with one optional leading non-alnum-space char), 1-3 digit runs,
     punctuation runs, whitespace handling."""
@@ -107,7 +156,9 @@ class BPETokenizer:
         bos_id: int | None = None,
         eos_id: int | None = None,
         special_ids: set[int] | None = None,
+        pre: str = "llama3",
     ):
+        self.pre = pre
         self.tokens = tokens
         self.piece_to_id = {t: i for i, t in enumerate(tokens)}
         self.ranks: dict[tuple[str, str], int] = {}
@@ -136,7 +187,7 @@ class BPETokenizer:
 
     def encode(self, text: str, add_bos: bool = True, add_eos: bool = False) -> list[int]:
         ids: list[int] = [self.bos_id] if (add_bos and self.bos_id is not None) else []
-        for chunk in pretokenize(text):
+        for chunk in pretokenize(text, self.pre):
             mapped = "".join(_B2U[b] for b in chunk.encode("utf-8"))
             for piece in self._bpe(mapped):
                 tid = self.piece_to_id.get(piece)

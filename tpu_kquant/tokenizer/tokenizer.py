@@ -29,5 +29,6 @@ def from_gguf_metadata(md: dict) -> SPMTokenizer | BPETokenizer:
         merges = list(md.get("tokenizer.ggml.merges", []))
         ttypes = [int(t) for t in md.get("tokenizer.ggml.token_type", [1] * len(tokens))]
         special = {i for i, t in enumerate(ttypes) if t in (3, 4)}  # CONTROL
-        return BPETokenizer(tokens, merges, bos, eos, special)
+        pre = str(md.get("tokenizer.ggml.pre", "llama3"))
+        return BPETokenizer(tokens, merges, bos, eos, special, pre=pre)
     raise ValueError(f"unknown tokenizer model {model!r}")
