@@ -57,12 +57,13 @@ static inline uint16_t f32_to_f16(float f) {
         if (exp < -10) return (uint16_t)sign;
         man |= 0x800000;
         uint32_t shift = 14 - exp;
-        uint32_t rounded = (man + (1u << (shift - 1))) >> shift;
+        // round-to-nearest-EVEN (matches numpy's f32->f16 cast)
+        uint32_t rounded = (man + ((1u << (shift - 1)) - 1) + ((man >> shift) & 1)) >> shift;
         return (uint16_t)(sign | rounded);
     }
     if (exp >= 31) return (uint16_t)(sign | 0x7C00);
-    // round-to-nearest
-    uint32_t rounded = man + 0x1000;
+    // round-to-nearest-EVEN (matches numpy's f32->f16 cast)
+    uint32_t rounded = man + 0xFFF + ((man >> 13) & 1);
     if (rounded & 0x800000) { rounded = 0; exp++; if (exp >= 31) return (uint16_t)(sign | 0x7C00); }
     return (uint16_t)(sign | (exp << 10) | (rounded >> 13));
 }
@@ -265,6 +266,101 @@ static inline void kscales_pack(const uint8_t* sc, const uint8_t* m, uint8_t* ou
     }
 }
 
+// ---------------------------------------------------------------------------
+// error-minimizing scale searches (ggml make_qx_quants / make_qkx2_quants).
+// Float32 elementwise (nearbyintf = nearest-even, matching ggml nearest_int
+// and np.round), float64 accumulation — bit-identical to the NumPy reference
+// in tpu_kquant/quant/numpy_codecs.py (same term values; tested).
+// ---------------------------------------------------------------------------
+
+static const double TKQ_GROUP_MAX_EPS = 1e-15;
+
+// symmetric weighted-LS scale over 19 candidate iscales (weights x^2)
+static double make_qx_quants_d(int n, int nmax, const float* x) {
+    float maxv = 0.0f, amax = 0.0f;
+    for (int i = 0; i < n; i++) {
+        float ax = std::fabs(x[i]);
+        if (ax > amax) { amax = ax; maxv = x[i]; }
+    }
+    if (std::fabs(maxv) < TKQ_GROUP_MAX_EPS) return 0.0;
+    double scale = 0.0, best = 0.0;
+    for (int k = 0; k < 19; k++) {
+        int step = (k == 0) ? 0 : (k <= 9 ? k - 10 : k - 9);  // 0,-9..-1,1..9
+        float isc = -((float)nmax + 0.1f * (float)step) / maxv;
+        double sumlx = 0.0, suml2 = 0.0;
+        for (int i = 0; i < n; i++) {
+            float lf = std::nearbyintf(isc * x[i]);
+            double l = std::clamp((double)lf, (double)-nmax, (double)(nmax - 1));
+            double w = (double)x[i] * (double)x[i];
+            sumlx += w * (double)x[i] * l;
+            suml2 += w * l * l;
+        }
+        if (k == 0) {
+            scale = suml2 > 0 ? sumlx / suml2 : 0.0;
+            best = scale * sumlx;
+        } else if (suml2 > 0 && sumlx * sumlx > best * suml2) {
+            scale = sumlx / suml2;
+            best = scale * sumlx;
+        }
+    }
+    return scale;
+}
+
+// asymmetric weighted-LS (scale, min) over a candidate grid
+static double make_qkx2_quants_d(int n, int nmax, const float* x,
+                                 const float* weights, double* the_min,
+                                 float rmin, float rdelta, int nstep,
+                                 bool use_mad) {
+    float mn = x[0], mx = x[0];
+    double sum_w = weights[0], sum_x = (double)weights[0] * (double)x[0];
+    for (int i = 1; i < n; i++) {
+        mn = std::min(mn, x[i]); mx = std::max(mx, x[i]);
+        double w = weights[i];
+        sum_w += w; sum_x += w * (double)x[i];
+    }
+    mn = std::min(mn, 0.0f);
+    if (mx == mn) { *the_min = -(double)mn; return 0.0; }
+    float span = mx - mn;
+    float isc0 = (float)nmax / span;
+    double scale = (double)(1.0f / isc0);
+    double minv = (double)mn;
+    double best_mad = 0.0;
+    for (int i = 0; i < n; i++) {
+        float lf = std::nearbyintf(isc0 * (x[i] - mn));
+        double l = std::clamp((double)lf, 0.0, (double)nmax);
+        double diff = scale * l + minv - (double)x[i];
+        best_mad += (double)weights[i] * (use_mad ? std::fabs(diff) : diff * diff);
+    }
+    for (int is = 0; is <= nstep; is++) {
+        float isc = (rmin + rdelta * (float)is + (float)nmax) / span;
+        double sum_l = 0.0, sum_l2 = 0.0, sum_xl = 0.0;
+        double lbuf[64];
+        for (int i = 0; i < n; i++) {
+            float lf = std::nearbyintf(isc * (x[i] - mn));
+            double l = std::clamp((double)lf, 0.0, (double)nmax);
+            lbuf[i] = l;
+            double w = weights[i];
+            sum_l += w * l;
+            sum_l2 += w * l * l;
+            sum_xl += w * l * (double)x[i];
+        }
+        double D = sum_w * sum_l2 - sum_l * sum_l;
+        if (D > 0) {
+            double ts = (sum_w * sum_xl - sum_x * sum_l) / D;
+            double tm = (sum_l2 * sum_x - sum_l * sum_xl) / D;
+            if (tm > 0) { tm = 0.0; ts = sum_l2 > 0 ? sum_xl / sum_l2 : ts; }
+            double mad = 0.0;
+            for (int i = 0; i < n; i++) {
+                double diff = ts * lbuf[i] + tm - (double)x[i];
+                mad += (double)weights[i] * (use_mad ? std::fabs(diff) : diff * diff);
+            }
+            if (mad < best_mad) { best_mad = mad; scale = ts; minv = tm; }
+        }
+    }
+    *the_min = -minv;
+    return scale;
+}
+
 int tkq_quantize_q4k(const float* x, int64_t nelem, uint8_t* out, int nthreads) {
     if (nelem % 256) return -2;
     int64_t nb = nelem / 256;
@@ -275,35 +371,41 @@ int tkq_quantize_q4k(const float* x, int64_t nelem, uint8_t* out, int nthreads) 
     for (int64_t i = 0; i < nb; i++) {
         const float* xb = x + i * 256;
         uint8_t* b = out + i * 144;
-        float scales[8], mins[8];
+        double scales[8], mins[8];
+        float weights[32];
         for (int j = 0; j < 8; j++) {
-            float mn = 0.0f, mx = 0.0f;
-            for (int l = 0; l < 32; l++) {
-                float v = xb[32 * j + l];
-                mn = std::min(mn, v); mx = std::max(mx, v);
-            }
-            scales[j] = (mx - mn) / 15.0f;
-            mins[j] = -mn;
+            const float* xj = xb + 32 * j;
+            double s2 = 0.0;
+            for (int l = 0; l < 32; l++) s2 += (double)xj[l] * (double)xj[l];
+            float av_x = (float)std::sqrt(s2 / 32.0);
+            for (int l = 0; l < 32; l++) weights[l] = av_x + std::fabs(xj[l]);
+            scales[j] = make_qkx2_quants_d(32, 15, xj, weights, &mins[j],
+                                           -1.0f, 0.1f, 20, false);
         }
-        float d = *std::max_element(scales, scales + 8) / 63.0f;
-        float dmin = *std::max_element(mins, mins + 8) / 63.0f;
-        d = f16_to_f32(f32_to_f16(d));
-        dmin = f16_to_f32(f32_to_f16(dmin));
+        double max_scale = 0.0, max_min = 0.0;
+        for (int j = 0; j < 8; j++) {
+            max_scale = std::max(max_scale, scales[j]);
+            max_min = std::max(max_min, mins[j]);
+        }
+        double inv_scale = max_scale > 0 ? 63.0 / max_scale : 0.0;
+        double inv_min = max_min > 0 ? 63.0 / max_min : 0.0;
         uint8_t sc[8], mq[8];
         for (int j = 0; j < 8; j++) {
-            sc[j] = (uint8_t)std::clamp(d > 0 ? (int)std::lround(scales[j] / d) : 0, 0, 63);
-            mq[j] = (uint8_t)std::clamp(dmin > 0 ? (int)std::lround(mins[j] / dmin) : 0, 0, 63);
+            sc[j] = (uint8_t)std::clamp(std::nearbyint(inv_scale * scales[j]), 0.0, 63.0);
+            mq[j] = (uint8_t)std::clamp(std::nearbyint(inv_min * mins[j]), 0.0, 63.0);
         }
-        *(uint16_t*)(b) = f32_to_f16(d);
-        *(uint16_t*)(b + 2) = f32_to_f16(dmin);
+        float d = f16_to_f32(f32_to_f16((float)(max_scale / 63.0)));
+        float dmin = f16_to_f32(f32_to_f16((float)(max_min / 63.0)));
+        *(uint16_t*)(b) = f32_to_f16((float)(max_scale / 63.0));
+        *(uint16_t*)(b + 2) = f32_to_f16((float)(max_min / 63.0));
         kscales_pack(sc, mq, b + 4);
         uint8_t q[256];
         for (int j = 0; j < 8; j++) {
-            float se = d * sc[j], me = dmin * mq[j];
+            float se = d * (float)sc[j], me = dmin * (float)mq[j];
             for (int l = 0; l < 32; l++) {
                 float v = xb[32 * j + l];
-                int qi = se > 0 ? (int)std::lround((v + me) / se) : 0;
-                q[32 * j + l] = (uint8_t)std::clamp(qi, 0, 15);
+                float qf = se > 0 ? std::nearbyintf((v + me) / se) : 0.0f;
+                q[32 * j + l] = (uint8_t)std::clamp(qf, 0.0f, 15.0f);
             }
         }
         uint8_t* qs = b + 16;
@@ -324,24 +426,31 @@ int tkq_quantize_q6k(const float* x, int64_t nelem, uint8_t* out, int nthreads) 
     for (int64_t i = 0; i < nb; i++) {
         const float* xb = x + i * 256;
         uint8_t* b = out + i * 210;
-        float gs[16];
+        double scales[16];
+        double max_scale = 0.0, max_abs = 0.0;
         for (int g = 0; g < 16; g++) {
-            float amax = 0.0f;
-            for (int l = 0; l < 16; l++) amax = std::max(amax, std::fabs(xb[16 * g + l]));
-            gs[g] = amax / 31.0f;
+            scales[g] = make_qx_quants_d(16, 32, xb + 16 * g);
+            double a = std::fabs(scales[g]);
+            if (a > max_abs) { max_abs = a; max_scale = scales[g]; }
         }
-        float d = *std::max_element(gs, gs + 16) / 127.0f;
-        d = f16_to_f32(f32_to_f16(d));
+        if (max_abs < TKQ_GROUP_MAX_EPS) {  // dead block: all-zero bytes
+            std::memset(b, 0, 210);
+            continue;
+        }
+        double iscale = -128.0 / max_scale;
+        float d = f16_to_f32(f32_to_f16((float)(1.0 / iscale)));
         int8_t sc[16];
-        for (int g = 0; g < 16; g++)
-            sc[g] = (int8_t)std::clamp(d > 0 ? (int)std::lround(gs[g] / d) : 0, -128, 127);
+        for (int g = 0; g < 16; g++) {
+            double t = std::min(127.0, std::nearbyint(iscale * scales[g]));
+            sc[g] = (int8_t)std::clamp(t, -128.0, 127.0);
+        }
         uint8_t q[256];
         for (int g = 0; g < 16; g++) {
-            float eff = d * sc[g];
+            float eff = d * (float)sc[g];
             for (int l = 0; l < 16; l++) {
                 float v = xb[16 * g + l];
-                int qi = eff != 0 ? (int)std::lround(v / eff) : 0;
-                q[16 * g + l] = (uint8_t)(std::clamp(qi, -32, 31) + 32);
+                float qf = eff != 0 ? std::nearbyintf(v / eff) : 0.0f;
+                q[16 * g + l] = (uint8_t)(std::clamp(qf, -32.0f, 31.0f) + 32);
             }
         }
         uint8_t* ql = b;

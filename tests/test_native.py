@@ -51,6 +51,25 @@ def test_quantize_bit_exact(qtype):
     )
 
 
+@pytest.mark.parametrize("qtype", [GGMLType.Q4_K, GGMLType.Q6_K])
+def test_quantize_search_bit_exact_edge_cases(qtype):
+    """The error-minimizing scale search must stay bit-identical between C++
+    and NumPy even on structured data that produces exact candidate ties
+    (the case FMA contraction used to break)."""
+    cases = [
+        np.zeros(512, np.float32),
+        np.full(512, 3.25, np.float32),
+        np.tile(np.array([1, -1], np.float32), 256),
+        np.concatenate([np.zeros(256), RNG.standard_normal(256)]).astype(np.float32),
+        (RNG.standard_normal(256 * 64) * 100.0).astype(np.float32),
+        (RNG.standard_normal(256 * 64) * 0.01).astype(np.float32),
+    ]
+    for x in cases:
+        np.testing.assert_array_equal(
+            quantize_native(x, int(qtype)), quantize(x, qtype, use_native=False)
+        )
+
+
 def test_quantize_q80_equivalent():
     x = RNG.standard_normal(32 * 64).astype(np.float32)
     a = dequantize(quantize_native(x, 8), GGMLType.Q8_0, x.shape)

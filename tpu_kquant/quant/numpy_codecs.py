@@ -10,10 +10,16 @@ spec* (block layouts), fully vectorized in NumPy:
   - ``dequantize(raw_bytes, ggml_type, shape)``  -> float32 ndarray
   - ``quantize(float_array, ggml_type)``         -> raw bytes (uint8 ndarray)
 
-Quantizers use straightforward round-to-nearest (not upstream's RMSE search);
-dequantizers are bit-exact to the format so real GGUF files decode correctly.
-Round-tripping our own quantized output is exact by construction and is what
-the unit tests pin down, along with hand-built superblocks.
+K-quant quantizers implement the ERROR-MINIMIZING scale search of upstream
+ggml (the make_qx_quants / make_qkx2_quants algorithms the reference's hot
+kernels consume the output of, reference README.md:686-779): a weighted
+least-squares fit of (scale[, min]) over a grid of candidate inverse scales,
+weights emphasizing large-magnitude values. Without it, requantized models
+measure worse perplexity than llama.cpp at identical bit-width. Elementwise
+math stays float32 (rounding = nearest-even, matching ggml's nearest_int);
+accumulations run in float64 so the NumPy and C++ (csrc/tkq.cpp)
+implementations agree bit-for-bit. Dequantizers are bit-exact to the format
+so real GGUF files decode correctly.
 """
 
 from __future__ import annotations
@@ -39,6 +45,157 @@ def _to_f16_bytes(x: np.ndarray) -> np.ndarray:
 
 def _safe_div(num: np.ndarray, den: np.ndarray) -> np.ndarray:
     return np.where(den != 0, num / np.where(den != 0, den, 1.0), 0.0)
+
+
+_GROUP_MAX_EPS = 1e-15  # ggml GROUP_MAX_EPS
+
+
+def _nearest(x: np.ndarray) -> np.ndarray:
+    """ggml nearest_int == round-half-to-even == np.round."""
+    return np.round(x)
+
+
+# ---------------------------------------------------------------------------
+# error-minimizing scale searches (ggml make_qx_quants / make_qkx2_quants)
+# vectorized over groups; float32 elementwise, float64 accumulation
+# ---------------------------------------------------------------------------
+
+
+def _make_qx_quants(x: np.ndarray, nmax: int) -> np.ndarray:
+    """Symmetric per-group scale via weighted LS over a 19-candidate grid
+    (ggml make_qx_quants, rmse_type=1: weights x^2).
+
+    x: (G, n) f32 -> scale (G,) f64. Candidate iscale -(nmax + 0.1*k)/max for
+    k in [-9, 9]; each candidate's quantization is scored by the optimum
+    weighted objective sumlx^2/suml2 of its code assignment."""
+    G, n = x.shape
+    xd = x.astype(np.float64)
+    w = xd * xd
+    idx = np.argmax(np.abs(x), axis=1)
+    maxv = x[np.arange(G), idx]  # signed value of largest magnitude
+    dead = np.abs(maxv) < _GROUP_MAX_EPS
+    safe = np.where(dead, np.float32(1.0), maxv)
+
+    def cand(step: int):
+        isc = -(np.float32(nmax) + np.float32(0.1) * np.float32(step)) / safe
+        l = np.clip(_nearest((isc[:, None] * x).astype(np.float32)),
+                    -nmax, nmax - 1).astype(np.float64)
+        sumlx = np.sum(w * xd * l, axis=1)
+        suml2 = np.sum(w * l * l, axis=1)
+        return sumlx, suml2
+
+    sumlx, suml2 = cand(0)
+    scale = np.where(suml2 > 0, sumlx / np.where(suml2 > 0, suml2, 1.0), 0.0)
+    best = scale * sumlx
+    for step in (*range(-9, 0), *range(1, 10)):
+        slx, sl2 = cand(step)
+        better = (sl2 > 0) & (slx * slx > best * sl2)
+        new_scale = np.where(better, slx / np.where(sl2 > 0, sl2, 1.0), scale)
+        best = np.where(better, new_scale * slx, best)
+        scale = new_scale
+    return np.where(dead, 0.0, scale)
+
+
+def _make_qkx2_quants(
+    x: np.ndarray,
+    nmax: int,
+    weights: np.ndarray,
+    rmin: float,
+    rdelta: float,
+    nstep: int,
+    use_mad: bool,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Asymmetric per-group (scale, min) via weighted LS over a candidate
+    grid (ggml make_qkx2_quants). x, weights: (G, n) f32.
+
+    Returns (scale, the_min) both (G,) f64 with the_min >= 0."""
+    xd = x.astype(np.float64)
+    wd = weights.astype(np.float64)
+    sum_w = wd.sum(axis=1)
+    sum_x = (wd * xd).sum(axis=1)
+    mn = np.minimum(x.min(axis=1), np.float32(0.0))
+    mx = x.max(axis=1)
+    degen = mx == mn
+    span = np.where(degen, np.float32(1.0), mx - mn)
+
+    isc0 = np.float32(nmax) / span
+    scale = (np.float32(1.0) / isc0).astype(np.float64)
+    minv = mn.astype(np.float64)
+    l0 = np.clip(
+        _nearest((isc0[:, None] * (x - mn[:, None])).astype(np.float32)),
+        0, nmax,
+    ).astype(np.float64)
+    diff = scale[:, None] * l0 + minv[:, None] - xd
+    best_mad = np.sum(wd * (np.abs(diff) if use_mad else diff * diff), axis=1)
+
+    for step in range(nstep + 1):
+        isc = (np.float32(rmin) + np.float32(rdelta) * np.float32(step)
+               + np.float32(nmax)) / span
+        l = np.clip(
+            _nearest((isc[:, None] * (x - mn[:, None])).astype(np.float32)),
+            0, nmax,
+        ).astype(np.float64)
+        sum_l = (wd * l).sum(axis=1)
+        sum_l2 = (wd * l * l).sum(axis=1)
+        sum_xl = (wd * l * xd).sum(axis=1)
+        D = sum_w * sum_l2 - sum_l * sum_l
+        ok = D > 0
+        Ds = np.where(ok, D, 1.0)
+        ts = (sum_w * sum_xl - sum_x * sum_l) / Ds
+        tm = (sum_l2 * sum_x - sum_l * sum_xl) / Ds
+        pos = tm > 0
+        sl2s = np.where(sum_l2 > 0, sum_l2, 1.0)
+        ts = np.where(pos, sum_xl / sl2s, ts)
+        tm = np.where(pos, 0.0, tm)
+        diff = ts[:, None] * l + tm[:, None] - xd
+        mad = np.sum(wd * (np.abs(diff) if use_mad else diff * diff), axis=1)
+        upd = ok & (mad < best_mad)
+        scale = np.where(upd, ts, scale)
+        minv = np.where(upd, tm, minv)
+        best_mad = np.where(upd, mad, best_mad)
+    scale = np.where(degen, 0.0, scale)
+    minv = np.where(degen, mn.astype(np.float64), minv)
+    return scale, -minv
+
+
+def _make_q3_quants(x: np.ndarray, nmax: int) -> np.ndarray:
+    """Symmetric scale with per-element coordinate-descent refinement (ggml
+    make_q3_quants, do_rmse=true). x: (G, n) f32 -> scale (G,) f64."""
+    G, n = x.shape
+    xd = x.astype(np.float64)
+    w = xd * xd
+    idx = np.argmax(np.abs(x), axis=1)
+    maxv = x[np.arange(G), idx]
+    dead = np.abs(maxv) == 0.0
+    safe = np.where(dead, np.float32(1.0), maxv)
+    isc = -np.float32(nmax) / safe
+    L = np.clip(_nearest((isc[:, None] * x).astype(np.float32)),
+                -nmax, nmax - 1).astype(np.float64)
+    sumlx = np.sum(w * xd * L, axis=1)
+    suml2 = np.sum(w * L * L, axis=1)
+    for _ in range(5):
+        any_changed = False
+        for i in range(n):
+            wi, xi, Li = w[:, i], xd[:, i], L[:, i]
+            slx = sumlx - wi * xi * Li
+            sl2 = suml2 - wi * Li * Li
+            good = slx > 0
+            new_l = np.clip(
+                _nearest(np.where(good, xi * sl2 / np.where(slx != 0, slx, 1.0), Li)),
+                -nmax, nmax - 1,
+            )
+            cand = good & (new_l != Li)
+            slx2 = slx + wi * xi * new_l
+            sl22 = sl2 + wi * new_l * new_l
+            improve = cand & (sl22 > 0) & (slx2 * slx2 * suml2 > sumlx * sumlx * sl22)
+            L[:, i] = np.where(improve, new_l, Li)
+            sumlx = np.where(improve, slx2, sumlx)
+            suml2 = np.where(improve, sl22, suml2)
+            any_changed = any_changed or bool(improve.any())
+        if not any_changed:
+            break
+    scale = np.where(suml2 > 0, sumlx / np.where(suml2 > 0, suml2, 1.0), 0.0)
+    return np.where(dead, 0.0, scale)
 
 
 # ---------------------------------------------------------------------------
@@ -233,23 +390,31 @@ def _deq_q4_k(blocks: np.ndarray) -> np.ndarray:
     return (scale * q - minv).reshape(-1, 256)
 
 
-def _kquant_minmax_scales(x: np.ndarray, qmax: int) -> tuple[np.ndarray, ...]:
-    """Shared min/max sub-block quantization for Q4_K/Q5_K.
+def _kquant_search_scales(
+    x: np.ndarray, qmax: int, rmin: float, nstep: int
+) -> tuple[np.ndarray, ...]:
+    """Shared Q4_K/Q5_K superblock assembly around the qkx2 search.
 
-    x: (nb, 8, 32). Returns (d, dmin, sc, m, scale_eff, min_eff) where the
-    effective per-sub-block scale/min are what dequant will use.
-    """
-    mn = np.minimum(x.min(axis=2), 0.0)  # (nb, 8) force min <= 0
-    mx = np.maximum(x.max(axis=2), 0.0)
-    scales = (mx - mn) / qmax  # per-sub-block scale
-    mins = -mn  # >= 0
-    d = scales.max(axis=1) / 63.0  # (nb,)
-    dmin = mins.max(axis=1) / 63.0
-    # store at fp16 precision (that is what dequant will see)
-    d = _f16(_to_f16_bytes(d))
-    dmin = _f16(_to_f16_bytes(dmin))
-    sc = np.clip(np.round(_safe_div(scales, d[:, None])), 0, 63).astype(np.uint8)
-    m = np.clip(np.round(_safe_div(mins, dmin[:, None])), 0, 63).astype(np.uint8)
+    x: (nb, 8, 32). Returns (d, dmin, sc, m, scale_eff, min_eff) — effective
+    per-sub-block scale/min as dequant will see them (fp16-rounded supers)."""
+    nb = x.shape[0]
+    # ggml's weighting: av_x + |x| with av_x the group RMS
+    av_x = np.sqrt((x.astype(np.float64) ** 2).sum(axis=2) / 32.0).astype(np.float32)
+    weights = av_x[:, :, None] + np.abs(x)
+    scales, mins = _make_qkx2_quants(
+        x.reshape(nb * 8, 32), qmax, weights.reshape(nb * 8, 32),
+        rmin, 0.1, nstep, False,
+    )
+    scales = scales.reshape(nb, 8)
+    mins = mins.reshape(nb, 8)
+    max_scale = np.maximum(scales.max(axis=1), 0.0)
+    max_min = np.maximum(mins.max(axis=1), 0.0)
+    inv_scale = np.where(max_scale > 0, 63.0 / np.where(max_scale > 0, max_scale, 1.0), 0.0)
+    inv_min = np.where(max_min > 0, 63.0 / np.where(max_min > 0, max_min, 1.0), 0.0)
+    sc = np.clip(_nearest(inv_scale[:, None] * scales), 0, 63).astype(np.uint8)
+    m = np.clip(_nearest(inv_min[:, None] * mins), 0, 63).astype(np.uint8)
+    d = _f16(_to_f16_bytes((max_scale / 63.0).astype(np.float32)))
+    dmin = _f16(_to_f16_bytes((max_min / 63.0).astype(np.float32)))
     scale_eff = d[:, None] * sc.astype(np.float32)
     min_eff = dmin[:, None] * m.astype(np.float32)
     return d, dmin, sc, m, scale_eff, min_eff
@@ -258,9 +423,14 @@ def _kquant_minmax_scales(x: np.ndarray, qmax: int) -> tuple[np.ndarray, ...]:
 def _q_q4_k(x: np.ndarray) -> np.ndarray:
     nb = x.shape[0]
     xg = x.reshape(nb, 8, 32)
-    d, dmin, sc, m, scale_eff, min_eff = _kquant_minmax_scales(xg, 15.0)
-    q = np.clip(
-        np.round(_safe_div(xg + min_eff[:, :, None], scale_eff[:, :, None])), 0, 15
+    d, dmin, sc, m, scale_eff, min_eff = _kquant_search_scales(xg, 15, -1.0, 20)
+    q = np.where(
+        scale_eff[:, :, None] > 0,
+        np.clip(
+            _nearest(_safe_div(xg + min_eff[:, :, None], scale_eff[:, :, None])),
+            0, 15,
+        ),
+        0.0,
     ).astype(np.uint8)
     out = np.empty((nb, 144), np.uint8)
     out[:, 0:2] = _to_f16_bytes(d)
@@ -290,9 +460,14 @@ def _deq_q5_k(blocks: np.ndarray) -> np.ndarray:
 def _q_q5_k(x: np.ndarray) -> np.ndarray:
     nb = x.shape[0]
     xg = x.reshape(nb, 8, 32)
-    d, dmin, sc, m, scale_eff, min_eff = _kquant_minmax_scales(xg, 31.0)
-    q = np.clip(
-        np.round(_safe_div(xg + min_eff[:, :, None], scale_eff[:, :, None])), 0, 31
+    d, dmin, sc, m, scale_eff, min_eff = _kquant_search_scales(xg, 31, -0.5, 15)
+    q = np.where(
+        scale_eff[:, :, None] > 0,
+        np.clip(
+            _nearest(_safe_div(xg + min_eff[:, :, None], scale_eff[:, :, None])),
+            0, 31,
+        ),
+        0.0,
     ).astype(np.uint8).reshape(nb, 256)
     out = np.empty((nb, 176), np.uint8)
     out[:, 0:2] = _to_f16_bytes(d)
@@ -351,14 +526,24 @@ def _deq_q6_k(blocks: np.ndarray) -> np.ndarray:
 def _q_q6_k(x: np.ndarray) -> np.ndarray:
     nb = x.shape[0]
     xg = x.reshape(nb, 16, 16)
-    amax = np.abs(xg).max(axis=2)  # (nb, 16)
-    gs = amax / 31.0  # per-group scale so values fit [-31, 31]
-    d = gs.max(axis=1) / 127.0
-    d = _f16(_to_f16_bytes(d))
-    sc = np.clip(np.round(_safe_div(gs, d[:, None])), -128, 127).astype(np.int8)
+    scales = _make_qx_quants(xg.reshape(nb * 16, 16), 32).reshape(nb, 16)
+    aidx = np.argmax(np.abs(scales), axis=1)
+    max_scale = scales[np.arange(nb), aidx]  # signed value of largest |scale|
+    dead = np.abs(max_scale) < _GROUP_MAX_EPS
+    iscale = -128.0 / np.where(dead, 1.0, max_scale)
+    d = _f16(_to_f16_bytes((1.0 / iscale).astype(np.float32)))
+    d = np.where(dead, np.float32(0.0), d)
+    sc = np.clip(np.minimum(127, _nearest(iscale[:, None] * scales)),
+                 -128, 127).astype(np.int8)
+    sc = np.where(dead[:, None], np.int8(0), sc)
     eff = d[:, None] * sc.astype(np.float32)
-    q = np.clip(np.round(_safe_div(xg, eff[:, :, None])), -32, 31).astype(np.int16)
+    q = np.where(
+        eff[:, :, None] != 0,
+        np.clip(_nearest(_safe_div(xg, eff[:, :, None])), -32, 31),
+        0.0,
+    ).astype(np.int16)
     q = (q.reshape(nb, 256) + 32).astype(np.uint8)  # 6-bit biased
+    q = np.where(dead[:, None], np.uint8(0), q)  # dead block: all-zero bytes
     out = np.zeros((nb, 210), np.uint8)
     ql = np.zeros((nb, 128), np.uint8)
     qh = np.zeros((nb, 64), np.uint8)
@@ -418,20 +603,30 @@ def _deq_q2_k(blocks: np.ndarray) -> np.ndarray:
 def _q_q2_k(x: np.ndarray) -> np.ndarray:
     nb = x.shape[0]
     xg = x.reshape(nb, 16, 16)
-    mn = np.minimum(xg.min(axis=2), 0.0)
-    mx = np.maximum(xg.max(axis=2), 0.0)
-    scales = (mx - mn) / 3.0
-    mins = -mn
-    d = scales.max(axis=1) / 15.0
-    dmin = mins.max(axis=1) / 15.0
-    d = _f16(_to_f16_bytes(d))
-    dmin = _f16(_to_f16_bytes(dmin))
-    sc = np.clip(np.round(_safe_div(scales, d[:, None])), 0, 15).astype(np.uint8)
-    m = np.clip(np.round(_safe_div(mins, dmin[:, None])), 0, 15).astype(np.uint8)
+    scales, mins = _make_qkx2_quants(
+        xg.reshape(nb * 16, 16), 3, np.abs(xg).reshape(nb * 16, 16),
+        -0.5, 0.1, 15, True,
+    )
+    scales = scales.reshape(nb, 16)
+    mins = mins.reshape(nb, 16)
+    max_scale = np.maximum(scales.max(axis=1), 0.0)
+    max_min = np.maximum(mins.max(axis=1), 0.0)
+    inv_scale = np.where(max_scale > 0, 15.0 / np.where(max_scale > 0, max_scale, 1.0), 0.0)
+    inv_min = np.where(max_min > 0, 15.0 / np.where(max_min > 0, max_min, 1.0), 0.0)
+    sc = np.clip(_nearest(inv_scale[:, None] * scales), 0, 15).astype(np.uint8)
+    m = np.clip(_nearest(inv_min[:, None] * mins), 0, 15).astype(np.uint8)
+    d = np.where(max_scale > 0,
+                 _f16(_to_f16_bytes((max_scale / 15.0).astype(np.float32))),
+                 np.float32(0.0)).astype(np.float32)
+    dmin = np.where(max_min > 0,
+                    _f16(_to_f16_bytes((max_min / 15.0).astype(np.float32))),
+                    np.float32(0.0)).astype(np.float32)
     eff_s = d[:, None] * sc.astype(np.float32)
     eff_m = dmin[:, None] * m.astype(np.float32)
-    q = np.clip(
-        np.round(_safe_div(xg + eff_m[:, :, None], eff_s[:, :, None])), 0, 3
+    q = np.where(
+        eff_s[:, :, None] > 0,
+        np.clip(_nearest(_safe_div(xg + eff_m[:, :, None], eff_s[:, :, None])), 0, 3),
+        0.0,
     ).astype(np.uint8).reshape(nb, 256)
     out = np.zeros((nb, 84), np.uint8)
     out[:, 0:16] = sc | (m << 4)
@@ -494,15 +689,21 @@ def _deq_q3_k(blocks: np.ndarray) -> np.ndarray:
 def _q_q3_k(x: np.ndarray) -> np.ndarray:
     nb = x.shape[0]
     xg = x.reshape(nb, 16, 16)
-    # q spans the asymmetric range [-4, 3]: pick the smallest scale with no clip
-    neg = np.maximum(-xg.min(axis=2), 0.0)
-    pos = np.maximum(xg.max(axis=2), 0.0)
-    gs = np.maximum(neg / 4.0, pos / 3.0)
-    d = gs.max(axis=1) / 31.0
-    d = _f16(_to_f16_bytes(d))
-    sc = np.clip(np.round(_safe_div(gs, d[:, None])), -32, 31).astype(np.int16)
+    scales = _make_q3_quants(xg.reshape(nb * 16, 16), 4).reshape(nb, 16)
+    aidx = np.argmax(np.abs(scales), axis=1)
+    max_scale = scales[np.arange(nb), aidx]  # signed value of largest |scale|
+    dead = np.abs(max_scale) < _GROUP_MAX_EPS
+    iscale = -32.0 / np.where(dead, 1.0, max_scale)
+    d = _f16(_to_f16_bytes((1.0 / iscale).astype(np.float32)))
+    d = np.where(dead, np.float32(0.0), d)
+    sc = np.clip(_nearest(iscale[:, None] * scales), -32, 31).astype(np.int16)
+    sc = np.where(dead[:, None], np.int16(0), sc)
     eff = d[:, None] * sc.astype(np.float32)
-    q = np.clip(np.round(_safe_div(xg, eff[:, :, None])), -4, 3).astype(np.int16)
+    q = np.where(
+        eff[:, :, None] != 0,
+        np.clip(_nearest(_safe_div(xg, eff[:, :, None])), -4, 3),
+        0.0,
+    ).astype(np.int16)
     q = q.reshape(nb, 256)
     qp4 = (q + 4).astype(np.uint8)  # [0, 7]: bit 2 -> NOT hmask, bits 0-1 -> qs
     out = np.zeros((nb, 110), np.uint8)
