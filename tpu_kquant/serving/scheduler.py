@@ -3,22 +3,24 @@ reference's single-stream llama-bench decode (SURVEY.md 2.2 "speculative /
 multi-stream decode: NO" row; the north-star requires continuous batching).
 
 Design: a fixed pool of B batch slots over one shared KV cache. Each tick:
-  1. one batched decode step for ALL previously-active slots (inactive slots
-     run a dummy token at pos 0; their cache rows are dead and any garbage
-     they write is overwritten before it can ever be attended — the same
-     argument that makes padded prefill safe, see runtime.engine),
-  2. admit queued requests into free slots via the engine's slot-prefill
-     primitive; their last-position logits OVERWRITE the decode logits row
-     on device (no host fetch — admission does not block the stream on a
+  1. admit queued requests into free slots via the engine's slot-prefill
+     primitive; their last-position logits land in a device-side pending
+     buffer (no host fetch — admission does not block the stream on a
      logits round-trip),
-  3. ONE batched sampler dispatch covering old and new rows together, with
-     PER-ROW sampler params (temp/top-k/top-p/min-p, repeat/presence/
-     frequency penalties over per-row sliding windows) and PER-REQUEST RNG
-     keys (request.seed; outputs don't depend on batch composition),
-  4. fetch the [B] sampled ints (the tick's only host sync), emit, retire.
+  2. ONE fused tick dispatch: batched decode step for every slot + the full
+     sampler chain, on device. Freshly admitted rows sample from their
+     pending prefill logits instead of the decode output (their decode this
+     tick is a dummy whose K/V write is overwritten by the real decode at
+     the same position next tick — the same argument that makes padded
+     prefill safe, see runtime.engine; inactive slots idle at pos 0
+     likewise). Sampling uses PER-ROW params (temp/top-k/top-p/min-p,
+     repeat/presence/frequency penalties over per-row sliding windows) and
+     PER-REQUEST RNG keys (request.seed; outputs don't depend on batch
+     composition),
+  3. fetch the [B] sampled ints (the tick's only host sync), emit, retire.
 
-Static shapes throughout: the decode and sampler executables never recompile
-as requests come and go.
+Static shapes throughout: the tick executable never recompiles as requests
+come and go.
 """
 
 from __future__ import annotations
@@ -101,18 +103,28 @@ class ContinuousBatcher:
             jnp.zeros(B, jnp.int32),
         )
 
-        @jax.jit
-        def _serve_sample(logits, base_keys, steps, temps, top_ks, top_ps,
-                          min_ps, rps, pps, fps, last_ns, pstate):
-            keys = jax.vmap(jax.random.fold_in)(base_keys, steps)
-            l = apply_penalties_rows(
-                logits.astype(jnp.float32), pstate[0], rps, pps, fps
+        self._pending_logits = jnp.zeros((B, V), jnp.float32)
+
+        from functools import partial as _partial
+
+        @_partial(jax.jit, donate_argnums=(3,))
+        def _tick_fn(params, toks, poss, cache, pending, fresh, base_keys,
+                     steps, temps, top_ks, top_ps, min_ps, rps, pps, fps,
+                     last_ns, pstate):
+            """Fused serving tick: decode + logits merge + sampler chain in
+            ONE dispatch (host loop pays a single round-trip per tick)."""
+            logits, cache = engine._step(
+                params, toks[:, None], poss[:, None], cache, True
             )
+            l = jnp.where(fresh[:, None], pending,
+                          logits[:, 0, :].astype(jnp.float32))
+            l = apply_penalties_rows(l, pstate[0], rps, pps, fps)
+            keys = jax.vmap(jax.random.fold_in)(base_keys, steps)
             tok = sample_rows(l, keys, temps, top_ks, top_ps, min_ps)
             pstate = update_penalty_state_rows(pstate, tok, last_ns)
-            return tok, pstate
+            return tok, cache, pstate
 
-        self._serve_sample = _serve_sample
+        self._tick_fn = _tick_fn
 
         @jax.jit
         def _reset_pstate_row(pstate, b, counts, window, widx, nfill):
@@ -163,50 +175,41 @@ class ContinuousBatcher:
         import time as _time
 
         t_start = _time.time()
-        # 1. batched decode step for previously-active slots
-        had_active = self.active > 0
-        if had_active:
-            toks = np.zeros(self.B, np.int32)
-            poss = np.zeros(self.B, np.int32)
-            for b, slot in enumerate(self.slots):
-                if slot.req is not None:
-                    toks[b] = slot.next_token
-                    poss[b] = slot.pos
-            logits, self.cache = self.engine.decode_step(
-                jnp.asarray(toks), jnp.asarray(poss), self.cache
-            )
-            for slot in self.slots:
-                if slot.req is not None:
-                    slot.pos += 1
-        else:
-            logits = jnp.zeros(
-                (self.B, self.engine.cfg.vocab_size), jnp.float32
-            )
-
-        # 2. admit queued requests into free slots (device-side logits splice;
-        # no host round-trip per admission)
-        admitted = []
+        # 1. admit queued requests into free slots (device-side pending
+        # logits; no host round-trip per admission)
+        fresh = np.zeros(self.B, bool)
         for b, slot in enumerate(self.slots):
             if slot.req is None and self.queue:
                 req = self.queue.popleft()
                 row_logits, self.cache = self.engine.prefill_slot(
                     req.prompt, self.cache, b
                 )
-                logits = logits.at[b].set(row_logits.astype(jnp.float32))
+                self._pending_logits = self._pending_logits.at[b].set(
+                    row_logits.astype(jnp.float32)
+                )
                 self.stats["prefills"] += 1
                 self.stats["tokens_in"] += len(req.prompt)
                 slot.req = req
                 slot.pos = len(req.prompt)
                 slot.steps = 0
                 self._set_slot_params(b, req)
-                admitted.append(b)
+                fresh[b] = True
         if self.active == 0:
             return
 
-        # 3. one batched sampler dispatch (per-row params + per-request keys)
+        # 2. ONE fused decode+sample dispatch; fresh rows' dummy decode at
+        # slot.pos is overwritten by the real decode there next tick
+        toks = np.zeros(self.B, np.int32)
+        poss = np.zeros(self.B, np.int32)
+        for b, slot in enumerate(self.slots):
+            if slot.req is not None:
+                toks[b] = slot.next_token
+                poss[b] = slot.pos
         steps = np.array([s.steps for s in self.slots], np.uint32)
-        tok_dev, self._pstate = self._serve_sample(
-            logits, jnp.asarray(self._base_keys), jnp.asarray(steps),
+        tok_dev, self.cache, self._pstate = self._tick_fn(
+            self.engine.params, jnp.asarray(toks), jnp.asarray(poss),
+            self.cache, self._pending_logits, jnp.asarray(fresh),
+            jnp.asarray(self._base_keys), jnp.asarray(steps),
             jnp.asarray(self._temps), jnp.asarray(self._top_ks),
             jnp.asarray(self._top_ps), jnp.asarray(self._min_ps),
             jnp.asarray(self._rps), jnp.asarray(self._pps),
@@ -214,11 +217,13 @@ class ContinuousBatcher:
         )
         sampled = np.asarray(tok_dev)  # the tick's only host sync
 
-        # 4. emit / retire
+        # 3. emit / retire
         for b, slot in enumerate(self.slots):
             req = slot.req
             if req is None:
                 continue
+            if not fresh[b]:
+                slot.pos += 1  # fresh rows' first real decode is next tick
             slot.steps += 1
             tok = int(sampled[b])
             slot.next_token = tok
