@@ -172,13 +172,22 @@ def main():
         f"tg{args.tg}: {tg_mean:.1f} ± {tg_std:.1f} t/s marginal "
         f"(median {tg:.1f}) over {args.reps} reps")
     try:
-        from tpu_kquant.utils.roofline import roofline_report
+        from tpu_kquant.utils.roofline import (
+            prefill_roofline_report,
+            roofline_report,
+        )
 
         rep = roofline_report(params, cfg, tg, chip="v5e", batch=B,
                               seq_len=args.pp + args.tg)
-        log(f"roofline: {rep['bytes_per_step']/1e6:.0f} MB/step -> "
+        log(f"decode roofline: {rep['bytes_per_step']/1e6:.0f} MB/step -> "
             f"{rep['roofline_tok_s']:.0f} tok/s ceiling; measured "
             f"{tg:.0f} = {rep['fraction_of_roofline']*100:.0f}% of v5e roofline")
+        prep = prefill_roofline_report(params, cfg, pp, T=args.pp, chip="v5e",
+                                       batch=B)
+        log(f"prefill roofline ({prep['bound']}-bound): "
+            f"{prep['flops_per_token']/1e9:.2f} GFLOP/tok -> "
+            f"{prep['roofline_tok_s']:.0f} tok/s ceiling; measured "
+            f"{pp:.0f} = {prep['fraction_of_roofline']*100:.0f}% of v5e roofline")
     except Exception as e:  # pragma: no cover
         log("roofline report failed:", e)
     name = args.preset if args.model is None else os.path.basename(args.model)

@@ -72,6 +72,28 @@ def attention_decode(
             q, k_cache, v_cache, q_positions, kv_scales, scale,
             interpret=(impl == "pallas" and not _on_tpu()),
         )
+    # flash prefill kernel: T > 1, contiguous per-row positions (an engine
+    # prefill invariant: positions[b, t] = positions[b, 0] + t), static
+    # window (0 or SWA), no softcap, no ring
+    if (
+        impl in ("auto", "pallas")
+        and ring_last is None
+        and T > 1
+        and logit_softcap == 0.0
+        and static_win
+        and (impl == "pallas" or _on_tpu())
+    ):
+        from tpu_kquant.ops.pallas_prefill import (
+            attention_prefill_pallas,
+            prefill_supported,
+        )
+
+        if prefill_supported(T, k_cache.shape[2], D):
+            return attention_prefill_pallas(
+                q, k_cache, v_cache, q_positions[:, 0], kv_scales, scale,
+                sliding_window=sliding_window,
+                interpret=(impl == "pallas" and not _on_tpu()),
+            )
     Hkv, S = k_cache.shape[1], k_cache.shape[2]
     G = H // Hkv  # query groups per kv head
     if scale is None:
