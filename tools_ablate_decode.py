@@ -27,6 +27,9 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 from tpu_kquant.runtime import InferenceEngine, load_model
 
 MODEL = REPO / ".cache" / "tinyllama-1.1b-q4_k_m.gguf"
+for i, a in enumerate(sys.argv):
+    if a == "--model" and i + 1 < len(sys.argv):
+        MODEL = Path(sys.argv[i + 1])
 cfg, params, _ = load_model(str(MODEL), scale_dtype="bf16")
 print(f"loaded {cfg.arch} L={cfg.n_layers}", file=sys.stderr)
 

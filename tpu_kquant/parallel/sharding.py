@@ -87,7 +87,18 @@ def make_param_put(mesh: Mesh, moe_impl: str = "ep"):
 
 
 def shard_cache(cache: Any, mesh: Mesh) -> Any:
-    """Shard a KVCache: batch over 'data', kv heads over 'model'."""
+    """Shard a KVCache: batch over 'data', kv heads over 'model'.
+    ISWACache shards its full and ring sub-caches the same way."""
+    from tpu_kquant.runtime.kv_cache import ISWACache
+
+    if isinstance(cache, ISWACache):
+        import dataclasses
+
+        return dataclasses.replace(
+            cache,
+            full=None if cache.full is None else shard_cache(cache.full, mesh),
+            swa=None if cache.swa is None else shard_cache(cache.swa, mesh),
+        )
     n_model = mesh.shape["model"]
     n_data = mesh.shape["data"]
 
