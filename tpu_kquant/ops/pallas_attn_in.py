@@ -35,11 +35,26 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from tpu_kquant.ops.pallas_dequant import group_scale_mulsub, q4_codes_word
 from tpu_kquant.quant.qtensor import QTensor
 from tpu_kquant.quant.repack import GROUP_SIZE
 
 _FLAT_KINDS = ("q6w", "q8")
 _KINDS = ("q4",) + _FLAT_KINDS
+
+# Scoped-VMEM budget for one weight chunk, in ELEMENTS of the widened dequant
+# temporaries (Mosaic materializes the i32/f32 widened tiles on the kernel
+# stack; the hard scoped limit is 16 MB). 512x2560 = 1.31M is the largest
+# empirically-proven config (TinyLlama wqk); 8B's 5120-wide wqk at TK2=512
+# blows the limit (measured: 18.95M > 16M), so chunks are halved until they
+# fit this element budget.
+_VMEM_CHUNK_ELEMS = 1_350_000
+
+
+def _cap_chunk(tk: int, width: int, min_tk: int) -> int:
+    while tk > min_tk and tk * width > _VMEM_CHUNK_ELEMS:
+        tk //= 2
+    return tk
 
 
 def attn_in_supported(ws: list[QTensor], rows: int, D: int) -> bool:
@@ -133,25 +148,23 @@ def _attn_in_kernel(specs, D, TK2, nk, half_rot, eps, nw_scale, *refs):
     for (kind, has_sm, has_mins, _), (qs, s, m), acc in zip(specs, wrefs, accs):
         g = GROUP_SIZE[kind]
         if kind == "q4":
-            q_all = qs[0][:].astype(jnp.int32)
             contrib = None
             for hi, x_chunk in ((0, x_lo), (1, x_hi)):
-                q = ((q_all >> 4) if hi else (q_all & 0xF)).astype(jnp.float32)
+                # i32-word nibble extraction (pallas_dequant): 4 codes/op
+                q = q4_codes_word(qs[0][:], bool(hi)).astype(jnp.float32)
                 if has_sm:
                     sc, mn = _decode_sm(s[hi][:])
                 else:
                     sc = s[hi][:].astype(jnp.float32)
                     mn = m[hi][:].astype(jnp.float32) if m is not None else None
-                w = q * jnp.repeat(sc, g, axis=0)
-                if mn is not None:
-                    w = w - jnp.repeat(mn, g, axis=0)
+                w = group_scale_mulsub(q, sc, mn, g)
                 d = mm(x_chunk, w)
                 contrib = d if contrib is None else contrib + d
         else:
             contrib = None
             for hi, x_chunk in ((0, x_lo), (1, x_hi)):
-                w = (qs[hi][:].astype(jnp.float32)
-                     * jnp.repeat(s[hi][:].astype(jnp.float32), g, axis=0))
+                w = group_scale_mulsub(qs[hi][:].astype(jnp.float32),
+                                       s[hi][:].astype(jnp.float32), None, g)
                 d = mm(x_chunk, w)
                 contrib = d if contrib is None else contrib + d
         acc[:] = acc[:] + contrib
@@ -193,6 +206,9 @@ def _attn_in_call(x2d, norm_w, flat_arrays, cos_full, sin_full, flat_biases,
     TK2 = tk
     while (D // 2) % TK2:
         TK2 //= 2
+    # scoped-VMEM cap: the widest projection's dequant temporaries must fit
+    # the kernel stack (min 256 keeps q4 scale blocks >= 8 sublanes)
+    TK2 = _cap_chunk(TK2, max(ns), 256)
     nk = (D // 2) // TK2
 
     x_spec = pl.BlockSpec((R, D), lambda k: (0, 0), memory_space=pltpu.VMEM)

@@ -35,14 +35,21 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from tpu_kquant.ops.pallas_dequant import group_scale_mulsub, q4_codes_word
 from tpu_kquant.quant.qtensor import QTensor
 from tpu_kquant.quant.repack import GROUP_SIZE
 
 _FLAT_KINDS = ("q6w", "q8")  # codes stored [K, N], no bit-fold on K
 
+from tpu_kquant.ops.pallas_attn_in import _VMEM_CHUNK_ELEMS, _cap_chunk
 
-def _pick_tf(F: int, cap: int = 1024) -> int:
-    """Largest divisor of F that is a multiple of 256 and <= cap."""
+
+def _pick_tf(F: int, D: int = 0, cap: int = 1024) -> int:
+    """Largest divisor of F that is a multiple of 256 and <= cap; when D is
+    given, additionally capped so the [TF, D] down-chunk dequant temporaries
+    fit the 16MB scoped-VMEM kernel stack (see pallas_attn_in)."""
+    if D:
+        cap = min(cap, max(256, _VMEM_CHUNK_ELEMS // D // 256 * 256))
     best = 0
     t = 256
     while t <= cap:
@@ -82,7 +89,7 @@ def ffn_supported(gu: QTensor, dn: QTensor, rows: int) -> bool:
         return False
     if gu.kind not in ("q4",) + _FLAT_KINDS:
         return False
-    if D % 512 or _pick_tf(F) == 0:
+    if D % 512 or _pick_tf(F, D) == 0:
         return False
     return True
 
@@ -127,17 +134,17 @@ def _ffn_kernel(gu_kind, dn_kind, gu_sm, gu_mins, D, F, TF, nf, eps, act_fn,
         """x_n @ dequant(W_chunk) -> [R, TF] f32."""
         g = GROUP_SIZE[gu_kind]
         if gu_kind in _FLAT_KINDS:
-            q = qs_ref[:].astype(jnp.float32)
-            w = q * jnp.repeat(s_ref[:].astype(jnp.float32), g, axis=0)
-            if m_ref is not None:
-                w = w - jnp.repeat(m_ref[:].astype(jnp.float32), g, axis=0)
+            w = group_scale_mulsub(
+                qs_ref[:].astype(jnp.float32),
+                s_ref[:].astype(jnp.float32),
+                m_ref[:].astype(jnp.float32) if m_ref is not None else None, g)
             return jax.lax.dot_general(
                 xn, w.astype(jnp.bfloat16),
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-        # q4 folded: packed row k carries elements k (lo) and k + D/2 (hi)
-        qs = qs_ref[:].astype(jnp.int32)
+        # q4 folded: packed row k carries elements k (lo) and k + D/2 (hi);
+        # nibbles extracted at i32-word level (pallas_dequant)
         if gu_sm:
             s_all, m_all = _decode_sm(s_ref[:])
         else:
@@ -146,11 +153,10 @@ def _ffn_kernel(gu_kind, dn_kind, gu_sm, gu_mins, D, F, TF, nf, eps, act_fn,
         half_g = (D // 2) // g
         out = None
         for hi, xs in ((False, xn[:, : D // 2]), (True, xn[:, D // 2 :])):
-            q = ((qs >> 4) if hi else (qs & 0xF)).astype(jnp.float32)
+            q = q4_codes_word(qs_ref[:], hi).astype(jnp.float32)
             sl = slice(half_g, None) if hi else slice(0, half_g)
-            w = q * jnp.repeat(s_all[sl], g, axis=0)
-            if m_all is not None:
-                w = w - jnp.repeat(m_all[sl], g, axis=0)
+            w = group_scale_mulsub(
+                q, s_all[sl], m_all[sl] if m_all is not None else None, g)
             d = jax.lax.dot_general(
                 xs, w.astype(jnp.bfloat16),
                 dimension_numbers=(((1,), (0,)), ((), ())),
@@ -169,8 +175,8 @@ def _ffn_kernel(gu_kind, dn_kind, gu_sm, gu_mins, D, F, TF, nf, eps, act_fn,
 
     # down chunk: rows [j*TF, (j+1)*TF) of the flat [F, D] codes
     gd = GROUP_SIZE[dn_kind]
-    wd = (d_qs[:].astype(jnp.float32)
-          * jnp.repeat(d_s[:].astype(jnp.float32), gd, axis=0))
+    wd = group_scale_mulsub(d_qs[:].astype(jnp.float32),
+                            d_s[:].astype(jnp.float32), None, gd)
     acc[:] = acc[:] + jax.lax.dot_general(
         a, wd.astype(jnp.bfloat16),
         dimension_numbers=(((1,), (0,)), ((), ())),
@@ -192,7 +198,7 @@ def _ffn_call(x2d, norm_w, gu_arrays, dn_arrays, gu_kind, dn_kind, gu_keys,
     gu = dict(zip(gu_keys, gu_arrays))
     dn = dict(zip(dn_keys, dn_arrays))
     R = x2d.shape[0]
-    TF = tf or _pick_tf(F)
+    TF = tf or _pick_tf(F, D)
     nf = F // TF
     gu_sm = "sm" in gu
     gu_mins = "mins" in gu
@@ -382,26 +388,23 @@ def _oproj_ffn_kernel(wo_kind, wo_sm, wo_mins, gu_kind, dn_kind, gu_sm,
         a_lo = a_lo_ref[:].astype(jnp.bfloat16)
         a_hi = a_hi_ref[:].astype(jnp.bfloat16)
         if wo_kind == "q4":
-            q_all = wo_qs[0][:].astype(jnp.int32)
             contrib = None
             for hi, a in ((0, a_lo), (1, a_hi)):
-                q = ((q_all >> 4) if hi else (q_all & 0xF)).astype(jnp.float32)
+                q = q4_codes_word(wo_qs[0][:], bool(hi)).astype(jnp.float32)
                 if wo_sm:
                     sc, mn = _decode_sm(wo_s[hi][:])
                 else:
                     sc = wo_s[hi][:].astype(jnp.float32)
                     mn = wo_m[hi][:].astype(jnp.float32) if wo_m else None
-                w = q * jnp.repeat(sc, gsz, axis=0)
-                if mn is not None:
-                    w = w - jnp.repeat(mn, gsz, axis=0)
+                w = group_scale_mulsub(q, sc, mn, gsz)
                 d = mm(a, w)
                 contrib = d if contrib is None else contrib + d
         else:
             contrib = None
             for hi, a in ((0, a_lo), (1, a_hi)):
-                w = (wo_qs[hi][:].astype(jnp.float32)
-                     * jnp.repeat(wo_s[hi][:].astype(jnp.float32), gsz,
-                                  axis=0))
+                w = group_scale_mulsub(
+                    wo_qs[hi][:].astype(jnp.float32),
+                    wo_s[hi][:].astype(jnp.float32), None, gsz)
                 d = mm(a, w)
                 contrib = d if contrib is None else contrib + d
         acc_x[:] = acc_x[:] + contrib
@@ -424,12 +427,12 @@ def _oproj_ffn_kernel(wo_kind, wo_sm, wo_mins, gu_kind, dn_kind, gu_sm,
         def gu_matmul(qs_ref, s_ref, m_ref):
             g = GROUP_SIZE[gu_kind]
             if gu_kind in _FLAT_KINDS:
-                q = qs_ref[:].astype(jnp.float32)
-                w = q * jnp.repeat(s_ref[:].astype(jnp.float32), g, axis=0)
-                if m_ref is not None:
-                    w = w - jnp.repeat(m_ref[:].astype(jnp.float32), g, axis=0)
+                w = group_scale_mulsub(
+                    qs_ref[:].astype(jnp.float32),
+                    s_ref[:].astype(jnp.float32),
+                    m_ref[:].astype(jnp.float32) if m_ref is not None else None,
+                    g)
                 return mm(xn, w)
-            qs = qs_ref[:].astype(jnp.int32)
             if gu_sm:
                 s_all, m_all = _decode_sm(s_ref[:])
             else:
@@ -438,11 +441,10 @@ def _oproj_ffn_kernel(wo_kind, wo_sm, wo_mins, gu_kind, dn_kind, gu_sm,
             half_g = (dim // 2) // g
             out = None
             for hi, xs in ((False, xn[:, : dim // 2]), (True, xn[:, dim // 2 :])):
-                q = ((qs >> 4) if hi else (qs & 0xF)).astype(jnp.float32)
+                q = q4_codes_word(qs_ref[:], hi).astype(jnp.float32)
                 sl = slice(half_g, None) if hi else slice(0, half_g)
-                w = q * jnp.repeat(s_all[sl], g, axis=0)
-                if m_all is not None:
-                    w = w - jnp.repeat(m_all[sl], g, axis=0)
+                w = group_scale_mulsub(
+                    q, s_all[sl], m_all[sl] if m_all is not None else None, g)
                 d = mm(xs, w)
                 out = d if out is None else out + d
             return out
@@ -456,8 +458,8 @@ def _oproj_ffn_kernel(wo_kind, wo_sm, wo_mins, gu_kind, dn_kind, gu_sm,
         a = a.astype(jnp.bfloat16)
 
         gd = GROUP_SIZE[dn_kind]
-        wd = (d_qs[:].astype(jnp.float32)
-              * jnp.repeat(d_s[:].astype(jnp.float32), gd, axis=0))
+        wd = group_scale_mulsub(d_qs[:].astype(jnp.float32),
+                                d_s[:].astype(jnp.float32), None, gd)
         acc[:] = acc[:] + mm(a, wd)
 
     @pl.when(j == nko + nf - 1)
@@ -482,8 +484,10 @@ def _oproj_ffn_call(x2d, attn2d, norm_w, wo_arrays, gu_arrays, dn_arrays,
     TKo2 = tko
     while (K // 2) % TKo2:
         TKo2 //= 2
+    # scoped-VMEM cap on the Wo chunk's dequant temporaries (pallas_attn_in)
+    TKo2 = _cap_chunk(TKo2, dim, 256)
     nko = (K // 2) // TKo2
-    TF = tf or _pick_tf(F)
+    TF = tf or _pick_tf(F, dim)
     nf = F // TF
     n_steps = nko + nf
 

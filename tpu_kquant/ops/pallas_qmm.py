@@ -28,6 +28,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from tpu_kquant.ops.pallas_dequant import group_scale_mulsub, q4_codes_word
 from tpu_kquant.quant.qtensor import QTensor
 from tpu_kquant.quant.repack import GROUP_SIZE
 
@@ -110,24 +111,29 @@ def _qmm_kernel(kind, g, K, TK2, nk, has_qh, has_mins, has_hi, has_sm, *refs):
         acc[:] = jnp.zeros_like(acc)
 
     # widen packed bytes to i32 once: Mosaic vector shifts/casts need i32
-    # (u8 zero-extends; q8's i8 sign-extends — both what we want)
-    qs = qs_ref[:].astype(jnp.int32)
+    # (u8 zero-extends; q8's i8 sign-extends — both what we want). q4 skips
+    # the widen: nibbles come out at i32-WORD level (pallas_dequant, 4
+    # codes per op) straight from the u8 tile.
+    qs = qs_ref[:].astype(jnp.int32) if kind != "q4" else None
     qh = qh_ref[:].astype(jnp.int32) if qh_ref is not None else None
     a = k * TK2  # traced element offset of the lo fold
 
     def half(x_ref, s_ref, m_ref, hi_fold):
-        q = _codes_for_fold(kind, qs, qh, a, K, hi_fold).astype(jnp.float32)
+        if kind == "q4":
+            q = q4_codes_word(qs_ref[:], hi_fold).astype(jnp.float32)
+        else:
+            q = _codes_for_fold(kind, qs, qh, a, K, hi_fold).astype(jnp.float32)
         if has_sm:
             # packed-pair scales: f32 container, low 16 bits = bf16(scale)
             # bits, high 16 = bf16(min) bits (quant.repack.pack_scale_pairs)
             bits = jax.lax.bitcast_convert_type(s_ref[:], jnp.int32)
             s = jax.lax.bitcast_convert_type(bits << 16, jnp.float32)
             m = jax.lax.bitcast_convert_type(bits & jnp.int32(-65536), jnp.float32)
-            w = q * jnp.repeat(s, g, axis=0) - jnp.repeat(m, g, axis=0)
+            w = group_scale_mulsub(q, s, m, g)
         else:
-            w = q * jnp.repeat(s_ref[:].astype(jnp.float32), g, axis=0)
-            if m_ref is not None:
-                w = w - jnp.repeat(m_ref[:].astype(jnp.float32), g, axis=0)
+            w = group_scale_mulsub(
+                q, s_ref[:].astype(jnp.float32),
+                m_ref[:].astype(jnp.float32) if m_ref is not None else None, g)
         return jax.lax.dot_general(
             x_ref[:].astype(jnp.bfloat16),
             w.astype(jnp.bfloat16),

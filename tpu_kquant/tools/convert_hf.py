@@ -120,6 +120,99 @@ def convert(hf_dir: str, out_path: str, recipe: str = "f16",
     return out_path
 
 
+def _export_tokenizer(w: GGUFWriter, hf_dir: str, cfg: dict,
+                      verbose: bool = True) -> bool:
+    """Export the HF fast-tokenizer (tokenizer.json) as GGUF tokenizer
+    metadata so the converted model is a *complete* artifact (llama.cpp's
+    convert_hf_to_gguf embeds the vocab the same way; reference SURVEY.md
+    2.1 'Vocab / tokenizer'). Supports byte-level BPE (-> gpt2 model +
+    merges) and Unigram (-> llama/spm pieces + scores)."""
+    tj = Path(hf_dir) / "tokenizer.json"
+    if not tj.exists():
+        if verbose:
+            print("  (no tokenizer.json — tokenizer not embedded)", file=sys.stderr)
+        return False
+    blob = json.loads(tj.read_text(encoding="utf-8"))
+    model = blob.get("model", {})
+    added = blob.get("added_tokens", [])
+    special_ids = {int(t["id"]) for t in added if t.get("special")}
+
+    def _token_types(n: int, byte_ids=()) -> np.ndarray:
+        tt = np.ones(n, np.int32)  # NORMAL
+        for i in byte_ids:
+            tt[i] = 6  # BYTE
+        for i in special_ids:
+            if i < n:
+                tt[i] = 3  # CONTROL
+        return tt
+
+    bos = cfg.get("bos_token_id")
+    eos = cfg.get("eos_token_id")
+
+    if model.get("type") == "BPE":
+        vocab, merges = model["vocab"], model["merges"]
+        tokens = [""] * (max(vocab.values()) + 1)
+        for piece, i in vocab.items():
+            tokens[i] = piece
+        for t in added:  # added specials may sit past the base vocab
+            i = int(t["id"])
+            if i >= len(tokens):
+                tokens.extend([""] * (i + 1 - len(tokens)))
+            tokens[i] = t["content"]
+        merge_strs = [m if isinstance(m, str) else f"{m[0]} {m[1]}" for m in merges]
+        w.add("tokenizer.ggml.model", "gpt2")
+        w.add("tokenizer.ggml.pre", _detect_pre(blob))
+        w.add("tokenizer.ggml.tokens", tokens)
+        w.add("tokenizer.ggml.merges", merge_strs)
+        w.add("tokenizer.ggml.token_type", _token_types(len(tokens)))
+    elif model.get("type") == "Unigram":
+        pieces = model["vocab"]  # [[piece, logprob], ...]
+        tokens = [p[0] for p in pieces]
+        scores = np.asarray([p[1] for p in pieces], np.float32)
+        byte_ids = [i for i, t in enumerate(tokens)
+                    if len(t) == 6 and t.startswith("<0x") and t.endswith(">")]
+        w.add("tokenizer.ggml.model", "llama")
+        w.add("tokenizer.ggml.tokens", tokens)
+        w.add("tokenizer.ggml.scores", scores)
+        w.add("tokenizer.ggml.token_type", _token_types(len(tokens), byte_ids))
+    else:
+        if verbose:
+            print(f"  (unsupported tokenizer model {model.get('type')!r})",
+                  file=sys.stderr)
+        return False
+    if bos is not None:
+        w.add("tokenizer.ggml.bos_token_id", int(bos))
+    if eos is not None:
+        eos0 = eos[0] if isinstance(eos, list) else eos
+        w.add("tokenizer.ggml.eos_token_id", int(eos0))
+    if verbose:
+        print(f"  tokenizer: {model.get('type')} vocab={len(tokens)}",
+              file=sys.stderr)
+    return True
+
+
+def _detect_pre(blob: dict) -> str:
+    """Map the tokenizer.json pre-tokenizer Split regex onto one of our
+    named pre-tokenizer families (tokenizer/bpe.py PRE_PATTERNS)."""
+    from tpu_kquant.tokenizer.bpe import PRE_PATTERNS
+
+    def walk(node):
+        if not isinstance(node, dict):
+            return
+        if node.get("type") == "Split":
+            pat = node.get("pattern", {})
+            yield pat.get("Regex") or pat.get("String") or ""
+        for sub in node.get("pretokenizers", []) or []:
+            yield from walk(sub)
+
+    pre = blob.get("pre_tokenizer") or {}
+    for rx in walk(pre):
+        for name, our_rx in PRE_PATTERNS.items():
+            if rx == our_rx:
+                return name
+    return "gpt2"
+
+
 def _load_state_dict(hf_dir: str) -> dict[str, np.ndarray]:
     """Load weights from safetensors or torch .bin shards without
     instantiating the model."""
