@@ -255,7 +255,39 @@ def llama_forward(
         # decode step
         holder = {"cache": cache}
         is_iswa = hasattr(cache, "is_ring")
+        # whole-layer single-launch kernel (ops.pallas_layer): one pallas_call
+        # per decode layer (QKV+rope -> flash attention -> o_proj -> FFN);
+        # attention reads the PRE-append cache and folds the current token's
+        # k/v in-kernel, so the cache scatter happens after the kernel
+        wl_possible = (
+            tokens.shape[1] == 1 and not is_iswa and cfg.rope.mode == "neox"
+            and cfg.rope.n_rot == cfg.head_dim and not cfg.attn_bias
+            and not cfg.post_norms and not cfg.is_moe
+            and cfg.attn_logit_softcap == 0.0 and kv_valid is None
+            and not cache.quantized
+        )
         for i, layer in enumerate(params["layers"]):
+            if wl_possible and not cfg.layer_window(i) and \
+                    "wqk" in layer and "w_gateup" in layer:
+                from tpu_kquant.ops.pallas_layer import (
+                    fused_layer, layer_enabled)
+
+                if layer_enabled(impl, layer["wqk"], layer["wv"], layer["wo"],
+                                 layer["w_gateup"], layer["w_down"],
+                                 tokens.shape[0], cfg.dim, cfg.n_heads,
+                                 cfg.n_kv_heads, cfg.head_dim):
+                    c = holder["cache"]
+                    x, k_new, v_new = fused_layer(
+                        x, positions, _norm_w(layer["attn_norm"]),
+                        _norm_w(layer["ffn_norm"]), cfg.norm_eps,
+                        layer["wqk"], layer["wv"], layer["wo"],
+                        layer["w_gateup"], layer["w_down"],
+                        cos, sin, c.k[i], c.v[i], cfg.n_heads,
+                        cfg.n_kv_heads,
+                        act_fn="gelu" if cfg.act_fn == "gelu" else "silu",
+                    )
+                    holder["cache"] = c.append(i, k_new, v_new, positions)
+                    continue
             def kv_write(k_new, v_new, _i=i):
                 if is_iswa:
                     c = holder["cache"].append(_i, k_new, v_new, positions,

@@ -43,12 +43,15 @@ _FLAT_KINDS = ("q6w", "q8")
 _KINDS = ("q4",) + _FLAT_KINDS
 
 # Scoped-VMEM budget for one weight chunk, in ELEMENTS of the widened dequant
-# temporaries (Mosaic materializes the i32/f32 widened tiles on the kernel
-# stack; the hard scoped limit is 16 MB). 512x2560 = 1.31M is the largest
-# empirically-proven config (TinyLlama wqk); 8B's 5120-wide wqk at TK2=512
-# blows the limit (measured: 18.95M > 16M), so chunks are halved until they
-# fit this element budget.
-_VMEM_CHUNK_ELEMS = 1_350_000
+# temporaries (Mosaic materializes the f32 widened tiles on the kernel
+# stack). The compiler's DEFAULT scoped limit is 16 MB — 8B's 5120-wide wqk
+# at TK2=512 blows it (measured: 18.95M > 16M) — so the megakernels raise
+# vmem_limit_bytes to _VMEM_LIMIT (v5e has 128 MB VMEM) and this budget caps
+# chunks so temporaries + double-buffered windows stay well inside it.
+# Halving chunks below this instead costs per-grid-step fixed overhead:
+# attn_in at 8B measured 34.3 us with TK2=256/16 steps vs 22.5 ideal.
+_VMEM_CHUNK_ELEMS = 2_700_000
+_VMEM_LIMIT = 100 * 1024 * 1024
 
 
 def _cap_chunk(tk: int, width: int, min_tk: int) -> int:
@@ -281,6 +284,8 @@ def _attn_in_call(x2d, norm_w, flat_arrays, cos_full, sin_full, flat_biases,
             flops=2 * R * D * sum(ns), bytes_accessed=bytes_accessed,
             transcendentals=0,
         ),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(*inputs)
     return tuple(outs)

@@ -41,7 +41,7 @@ from tpu_kquant.quant.repack import GROUP_SIZE
 
 _FLAT_KINDS = ("q6w", "q8")  # codes stored [K, N], no bit-fold on K
 
-from tpu_kquant.ops.pallas_attn_in import _VMEM_CHUNK_ELEMS, _cap_chunk
+from tpu_kquant.ops.pallas_attn_in import _VMEM_CHUNK_ELEMS, _VMEM_LIMIT, _cap_chunk
 
 
 def _pick_tf(F: int, D: int = 0, cap: int = 1024) -> int:
@@ -254,6 +254,8 @@ def _ffn_call(x2d, norm_w, gu_arrays, dn_arrays, gu_kind, dn_kind, gu_keys,
             flops=2 * R * D * 3 * F, bytes_accessed=bytes_accessed,
             transcendentals=R * F,
         ),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(*inputs)
     return y
@@ -588,6 +590,8 @@ def _oproj_ffn_call(x2d, attn2d, norm_w, wo_arrays, gu_arrays, dn_arrays,
             flops=2 * R * dim * (K + 3 * F), bytes_accessed=bytes_accessed,
             transcendentals=R * F,
         ),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(*inputs)
     return y
