@@ -292,9 +292,13 @@ def _layer_kernel(cfgs, *refs):
                 q = q_scr[rows, :]
                 k_self = qkr[r:r + 1, HD + h * hd: HD + (h + 1) * hd]  # [1, hd]
                 v_self = vr[r:r + 1, h * hd:(h + 1) * hd]
-                s = jax.lax.dot_general(
-                    q, k_self, dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
+                # NOT dot_general: an N=1 contraction lowers through a
+                # broadcast-multiply-reduce whose bf16->f32 vector.broadcast
+                # fails Mosaic verification on real TPU; the VPU
+                # multiply+reduce is equivalent (and tiny: [G, hd])
+                s = jnp.sum(
+                    q.astype(jnp.float32) * k_self.astype(jnp.float32),
+                    axis=1, keepdims=True,
                 ) * att_scale  # [G, 1]
                 m_prev = m_scr[rows, :]
                 m_new = jnp.maximum(m_prev, s)
