@@ -108,12 +108,13 @@ def attention_decode(
     # where small models/batches land below the Pallas dispatch gate).
     kf = k_cache.astype(jnp.float32)
     vf = v_cache.astype(jnp.float32)
+    if kv_scales is not None:
+        ks, vs = kv_scales  # [B, Hkv, S] each
 
     qf = q.astype(jnp.float32).reshape(B, T, Hkv, G, D)
     # logits: [B, T, Hkv, G, S]
     logits = jnp.einsum("bthgd,bhsd->bthgs", qf, kf) * scale
     if kv_scales is not None:
-        ks, vs = kv_scales  # [B, Hkv, S]
         logits = logits * ks[:, None, :, None, :]
     if logit_softcap > 0.0:
         logits = jnp.tanh(logits / logit_softcap) * logit_softcap

@@ -78,7 +78,11 @@ def layer_supported(wqk: QTensor, wv: QTensor, wo: QTensor, gu: QTensor,
 def layer_enabled(impl: str, *args, **kw) -> bool:
     import os
 
-    if os.environ.get("TKQ_FUSE_LAYER", "1") != "1":
+    # Default OFF: measured regression on real TPU (tg128 740 -> 510 t/s,
+    # BENCH_r02.json) — same failure mode as the attention+o_proj fusion
+    # negative result (README Perf log). Opt in with TKQ_FUSE_LAYER=1 only
+    # after a before/after llama-bench win at the target shape.
+    if os.environ.get("TKQ_FUSE_LAYER", "0") != "1":
         return False
     if impl not in ("auto", "pallas", "int8"):
         return False
