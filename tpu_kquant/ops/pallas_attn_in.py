@@ -35,7 +35,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from tpu_kquant.ops.pallas_dequant import group_scale_mulsub, q4_codes_word
+from tpu_kquant.ops.pallas_dequant import (
+    act_quant_to_scratch,
+    group_scale_mulsub,
+    int8_folds_enabled,
+    int8_group_fold,
+    q4_codes_word,
+)
 from tpu_kquant.quant.qtensor import QTensor
 from tpu_kquant.quant.repack import GROUP_SIZE
 
@@ -96,16 +102,18 @@ def _decode_sm(sm_block):
     return s, m
 
 
-def _attn_in_kernel(specs, D, TK2, nk, half_rot, eps, nw_scale, *refs):
+def _attn_in_kernel(specs, i8, D, TK2, nk, half_rot, eps, nw_scale, *refs):
     """specs: per-weight static descriptors (kind, has_sm, has_mins, has_bias).
 
-    Ref order: x_full, nw, x_lo, x_hi, per-weight packed refs (see
-    _weight_refs), cos, sin, [biases...], outputs..., scratch accs...
+    Ref order: x_full, nw, [nw_full if i8], x_lo, x_hi, per-weight packed
+    refs (see _weight_refs), cos, sin, [biases...], outputs...,
+    scratch accs..., [i8 quant scratch...]
     """
     it = iter(refs)
     x_full = next(it)
     nw_lo_ref = next(it)
     nw_hi_ref = next(it)
+    nw_full_ref = next(it) if i8 else None
     x_lo_ref = next(it)
     x_hi_ref = next(it)
     wrefs = []
@@ -124,18 +132,27 @@ def _attn_in_kernel(specs, D, TK2, nk, half_rot, eps, nw_scale, *refs):
     biases = [next(it) if sp[3] else None for sp in specs]
     outs = [next(it) for _ in specs]
     accs = [next(it) for _ in specs]
+    if i8:
+        xq_scr, xs_scr, gs_scr = next(it), next(it), next(it)
+    g4 = 32  # q4 group size (the only int8-folded kind here)
 
     k = pl.program_id(0)
-
-    @pl.when(k == 0)
-    def _():
-        for acc in accs:
-            acc[:] = jnp.zeros_like(acc)
 
     # rms_norm statistic over the FULL row, recomputed per step (R*D VPU
     # flops — noise next to the weight DMA); normalization applied per-chunk
     xf = x_full[:].astype(jnp.float32)
     rstd = jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)
+
+    @pl.when(k == 0)
+    def _():
+        for acc in accs:
+            acc[:] = jnp.zeros_like(acc)
+        if i8:
+            # Q8_K-style quant of the FULL normed row ONCE; q4 projections
+            # then run int8 group dots per chunk (pallas_dequant rationale)
+            nw_f = nw_full_ref[:].astype(jnp.float32) + nw_scale
+            act_quant_to_scratch(xf * rstd * nw_f, xq_scr, xs_scr, gs_scr, g4)
+
     nw_lo = nw_lo_ref[:].astype(jnp.float32) + nw_scale
     nw_hi = nw_hi_ref[:].astype(jnp.float32) + nw_scale
     x_lo = (x_lo_ref[:].astype(jnp.float32) * rstd * nw_lo).astype(jnp.bfloat16)
@@ -152,16 +169,24 @@ def _attn_in_kernel(specs, D, TK2, nk, half_rot, eps, nw_scale, *refs):
         g = GROUP_SIZE[kind]
         if kind == "q4":
             contrib = None
-            for hi, x_chunk in ((0, x_lo), (1, x_hi)):
-                # i32-word nibble extraction (pallas_dequant): 4 codes/op
-                q = q4_codes_word(qs[0][:], bool(hi)).astype(jnp.float32)
+            for hi in (0, 1):
                 if has_sm:
                     sc, mn = _decode_sm(s[hi][:])
                 else:
                     sc = s[hi][:].astype(jnp.float32)
                     mn = m[hi][:].astype(jnp.float32) if m is not None else None
-                w = group_scale_mulsub(q, sc, mn, g)
-                d = mm(x_chunk, w)
+                if i8:
+                    # chunk k's lo fold covers elements [k*TK2, (k+1)*TK2),
+                    # hi fold the same packed rows + D/2
+                    goff = (D // 2) // g * hi + k * (TK2 // g)
+                    d = int8_group_fold(
+                        xq_scr, xs_scr, gs_scr, goff, TK2 // g,
+                        q4_codes_word(qs[0][:], bool(hi)), sc, mn, g)
+                else:
+                    # i32-word nibble extraction (pallas_dequant): 4 codes/op
+                    q = q4_codes_word(qs[0][:], bool(hi)).astype(jnp.float32)
+                    w = group_scale_mulsub(q, sc, mn, g)
+                    d = mm(x_hi if hi else x_lo, w)
                 contrib = d if contrib is None else contrib + d
         else:
             contrib = None
@@ -197,13 +222,14 @@ def _attn_in_kernel(specs, D, TK2, nk, half_rot, eps, nw_scale, *refs):
 @functools.partial(
     jax.jit,
     static_argnames=("kinds", "keys", "ns", "has_bias", "D", "half_rot",
-                     "eps", "nw_scale", "out_dtype", "interpret", "tk"),
+                     "eps", "nw_scale", "out_dtype", "interpret", "tk", "i8"),
 )
 def _attn_in_call(x2d, norm_w, flat_arrays, cos_full, sin_full, flat_biases,
                   kinds, keys, ns, has_bias, D, half_rot, eps, nw_scale,
-                  out_dtype, interpret, tk):
+                  out_dtype, interpret, tk, i8=False):
     R = x2d.shape[0]
     nw2d = norm_w.reshape(1, D)
+    i8 = i8 and "q4" in kinds
 
     # TK2 = packed-row chunk per grid step; folded kinds index rows [0, D/2)
     TK2 = tk
@@ -221,8 +247,14 @@ def _attn_in_call(x2d, norm_w, flat_arrays, cos_full, sin_full, flat_biases,
     nwlo_spec = pl.BlockSpec((1, TK2), lambda k: (0, k), memory_space=pltpu.VMEM)
     nwhi_spec = pl.BlockSpec((1, TK2), lambda k: (0, (D // 2) // TK2 + k),
                              memory_space=pltpu.VMEM)
-    in_specs = [x_spec, nwlo_spec, nwhi_spec, xlo_spec, xhi_spec]
-    inputs = [x2d, nw2d, nw2d, x2d, x2d]
+    in_specs = [x_spec, nwlo_spec, nwhi_spec]
+    inputs = [x2d, nw2d, nw2d]
+    if i8:
+        in_specs.append(pl.BlockSpec((1, D), lambda k: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        inputs.append(nw2d)
+    in_specs += [xlo_spec, xhi_spec]
+    inputs += [x2d, x2d]
 
     specs = []
     ai = iter(flat_arrays)
@@ -266,11 +298,16 @@ def _attn_in_call(x2d, norm_w, flat_arrays, cos_full, sin_full, flat_biases,
                                          memory_space=pltpu.VMEM))
             inputs.append(next(bi).reshape(1, ns[i]))
 
-    kernel = functools.partial(_attn_in_kernel, tuple(specs), D, TK2, nk,
+    kernel = functools.partial(_attn_in_kernel, tuple(specs), i8, D, TK2, nk,
                                half_rot, eps, nw_scale)
     bytes_accessed = sum(
         v.size * v.dtype.itemsize for v in flat_arrays
     ) + 2 * R * D + 2 * R * sum(ns) + 8 * R * n0
+    scratch = [pltpu.VMEM((R, N), jnp.float32) for N in ns]
+    if i8:
+        scratch += [pltpu.VMEM((D // 32, 32, R), jnp.int8),
+                    pltpu.VMEM((D // 32, R), jnp.float32),
+                    pltpu.VMEM((D // 32, R), jnp.float32)]
     outs = pl.pallas_call(
         kernel,
         grid=(nk,),
@@ -279,7 +316,7 @@ def _attn_in_call(x2d, norm_w, flat_arrays, cos_full, sin_full, flat_biases,
                                 memory_space=pltpu.VMEM) for N in ns],
         out_shape=[jax.ShapeDtypeStruct((R, N), jnp.dtype(out_dtype))
                    for N in ns],
-        scratch_shapes=[pltpu.VMEM((R, N), jnp.float32) for N in ns],
+        scratch_shapes=scratch,
         cost_estimate=pl.CostEstimate(
             flops=2 * R * D * sum(ns), bytes_accessed=bytes_accessed,
             transcendentals=0,
@@ -337,6 +374,6 @@ def fused_attn_in(
     outs = _attn_in_call(
         x2d, norm_w, flat_arrays, cos_full, sin_full, flat_biases,
         kinds, keys, ns, has_bias, D, half_rot, float(eps), float(nw_scale),
-        jnp.dtype(out_dtype).name, interpret, tk,
+        jnp.dtype(out_dtype).name, interpret, tk, i8=int8_folds_enabled(),
     )
     return tuple(o.reshape(*lead, n) for o, n in zip(outs, ns))

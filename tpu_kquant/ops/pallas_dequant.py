@@ -19,10 +19,40 @@ pin these paths too.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _LO = 0x0F0F0F0F
+
+
+def int8_folds_enabled() -> bool:
+    """Q8_K-style int8-MXU folds for q4 weights inside the megakernels.
+
+    Measured motivation (r3, v5e, tiny gu [11264, 2048] q4-sm, R=1): the
+    f32-dequant pipeline is VPU-bound at ~4.25 ops/element (word-extract,
+    i32->f32, scale-mul, min-sub, bf16 cast) and lands at 50-60%% of the HBM
+    roofline; the int8 group-dot form (extract + bitcast only, scales/mins
+    applied to per-group partials) measured 24.8 us vs 34.3 (71%% vs 52%%).
+    Numerics: the activation side quantizes to per-group int8 (amax/127) —
+    the reference's own hot-loop design (quantize_row_q8_K + int8 sdot,
+    SURVEY.md 3.1).
+
+    Default OFF — kept as a documented negative result: the standalone win
+    did NOT transfer into the megakernels. Same-session A/B on v5e (r3,
+    tiny shapes, R=1): oproj+ffn 47.4 us (81% HBM) dequant vs 53.6 us int8;
+    ffn megakernel ~unchanged (43.2 vs 42.1 across sessions). The megakernel
+    grid already overlaps the q4 VPU dequant with the flat-kind down/v DMA
+    stream, so the VPU was not the critical path there, and the int8 form
+    adds per-group batched-matvec MXU passes (1 activation row per 32-deep
+    pass) plus an in-kernel activation-quant transpose at the phase
+    boundary. The standalone qmm context (no DMA partner to hide VPU work)
+    is where int8 wins: 24.8 us vs 34.3 us on the same tensor.
+    """
+    import os
+
+    return os.environ.get("TKQ_INT8_FOLDS", "0") == "1"
 
 
 def q4_codes_word(qs_u8: jnp.ndarray, hi_fold: bool) -> jnp.ndarray:
@@ -50,3 +80,45 @@ def group_scale_mulsub(
     if m is not None:
         w = w - m[:, None, :]
     return w.reshape(TK, TN)
+
+
+def act_quant_to_scratch(xn_f32, xq_scr, xs_scr, gs_scr, g: int) -> None:
+    """Quantize a [R, K] f32 activation row-block into group-major int8
+    scratch: xq [K/g, g, R] i8, xs [K/g, R] f32 scales, gs [K/g, R] f32
+    scale-weighted group sums (the Q8_K ``bsums``, for the q4 min term).
+
+    The transpose + sublane-split reshape are Mosaic-legal on a kernel value
+    (splitting the SUBLANE axis); splitting the lane axis of [R, K] directly
+    is not, which is why the group axis must be moved to sublanes first.
+    """
+    K = xn_f32.shape[-1]
+    xg = xn_f32.T.reshape(K // g, g, -1)  # [K/g, g, R]
+    amax = jnp.max(jnp.abs(xg), axis=1, keepdims=True)  # [K/g, 1, R]
+    sc = amax / 127.0
+    safe = jnp.where(sc > 0, sc, 1.0)
+    q = jnp.round(xg / safe)
+    xq_scr[:] = q.astype(jnp.int8)
+    xs_scr[:] = sc[:, 0, :]
+    gs_scr[:] = sc[:, 0, :] * jnp.sum(q, axis=1)
+
+
+def int8_group_fold(xq_scr, xs_scr, gs_scr, goff, Gt: int, codes_i8,
+                    s, m, g: int):
+    """One fold's [R, TN] f32 partial: int8 group dots + per-group rescale.
+
+    codes_i8: [Gt*g, TN] i8 weight codes; s/m: [Gt, TN] f32 per-group
+    scale/min (m None for symmetric kinds); goff: first group index of this
+    fold in the activation scratch (may be traced).
+    """
+    TN = codes_i8.shape[-1]
+    z = jax.lax.dot_general(
+        xq_scr[pl.ds(goff, Gt)], codes_i8.reshape(Gt, g, TN),
+        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.int32,
+    )  # [Gt, R, TN]
+    xs = xs_scr[pl.ds(goff, Gt)]  # [Gt, R]
+    out = z.astype(jnp.float32) * (xs[:, :, None] * s[:, None, :])
+    if m is not None:
+        gs = gs_scr[pl.ds(goff, Gt)]
+        out = out - gs[:, :, None] * m[:, None, :]
+    return jnp.sum(out, axis=0)

@@ -35,7 +35,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from tpu_kquant.ops.pallas_dequant import group_scale_mulsub, q4_codes_word
+from tpu_kquant.ops.pallas_dequant import (
+    act_quant_to_scratch,
+    group_scale_mulsub,
+    int8_folds_enabled,
+    int8_group_fold,
+    q4_codes_word,
+)
 from tpu_kquant.quant.qtensor import QTensor
 from tpu_kquant.quant.repack import GROUP_SIZE
 
@@ -102,8 +108,8 @@ def _decode_sm(sm_block):
     return s, m
 
 
-def _ffn_kernel(gu_kind, dn_kind, gu_sm, gu_mins, D, F, TF, nf, eps, act_fn,
-                *refs):
+def _ffn_kernel(gu_kind, dn_kind, gu_sm, gu_mins, i8, D, F, TF, nf, eps,
+                act_fn, *refs):
     it = iter(refs)
     x_ref = next(it)
     nw_ref = next(it)
@@ -117,18 +123,29 @@ def _ffn_kernel(gu_kind, dn_kind, gu_sm, gu_mins, D, F, TF, nf, eps, act_fn,
     d_s = next(it)
     o_ref = next(it)
     acc = next(it)
+    if i8:
+        xq_scr, xs_scr, gs_scr = next(it), next(it), next(it)
 
     j = pl.program_id(0)
+    g4 = GROUP_SIZE[gu_kind]
 
     @pl.when(j == 0)
     def _():
         acc[:] = jnp.zeros_like(acc)
+        if i8:
+            # int8 folds: norm + Q8_K-style activation quant ONCE into
+            # scratch; every gate/up chunk then runs int8 group dots
+            xf0 = x_ref[:].astype(jnp.float32)
+            var0 = jnp.mean(xf0 * xf0, axis=-1, keepdims=True)
+            xn0 = xf0 * jax.lax.rsqrt(var0 + eps) * nw_ref[:].astype(jnp.float32)
+            act_quant_to_scratch(xn0, xq_scr, xs_scr, gs_scr, g4)
 
-    # rms_norm recomputed per step (R*D VPU flops — noise next to the DMA)
-    xf = x_ref[:].astype(jnp.float32)
-    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
-    xn = (xf * jax.lax.rsqrt(var + eps) * nw_ref[:].astype(jnp.float32)
-          ).astype(jnp.bfloat16)
+    if not i8:
+        # rms_norm recomputed per step (R*D VPU flops — noise next to the DMA)
+        xf = x_ref[:].astype(jnp.float32)
+        var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+        xn = (xf * jax.lax.rsqrt(var + eps) * nw_ref[:].astype(jnp.float32)
+              ).astype(jnp.bfloat16)
 
     def gu_matmul(qs_ref, s_ref, m_ref):
         """x_n @ dequant(W_chunk) -> [R, TF] f32."""
@@ -152,16 +169,23 @@ def _ffn_kernel(gu_kind, dn_kind, gu_sm, gu_mins, D, F, TF, nf, eps, act_fn,
             m_all = m_ref[:].astype(jnp.float32) if m_ref is not None else None
         half_g = (D // 2) // g
         out = None
-        for hi, xs in ((False, xn[:, : D // 2]), (True, xn[:, D // 2 :])):
-            q = q4_codes_word(qs_ref[:], hi).astype(jnp.float32)
+        for hi in (False, True):
             sl = slice(half_g, None) if hi else slice(0, half_g)
-            w = group_scale_mulsub(
-                q, s_all[sl], m_all[sl] if m_all is not None else None, g)
-            d = jax.lax.dot_general(
-                xs, w.astype(jnp.bfloat16),
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+            s_h = s_all[sl]
+            m_h = m_all[sl] if m_all is not None else None
+            if i8:
+                d = int8_group_fold(
+                    xq_scr, xs_scr, gs_scr, half_g if hi else 0, half_g,
+                    q4_codes_word(qs_ref[:], hi), s_h, m_h, g)
+            else:
+                q = q4_codes_word(qs_ref[:], hi).astype(jnp.float32)
+                w = group_scale_mulsub(q, s_h, m_h, g)
+                d = jax.lax.dot_general(
+                    xn[:, D // 2:] if hi else xn[:, : D // 2],
+                    w.astype(jnp.bfloat16),
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
             out = d if out is None else out + d
         return out
 
@@ -191,10 +215,10 @@ def _ffn_kernel(gu_kind, dn_kind, gu_sm, gu_mins, D, F, TF, nf, eps, act_fn,
 @functools.partial(
     jax.jit,
     static_argnames=("gu_kind", "dn_kind", "gu_keys", "dn_keys", "D", "F",
-                     "eps", "act_fn", "out_dtype", "interpret", "tf"),
+                     "eps", "act_fn", "out_dtype", "interpret", "tf", "i8"),
 )
 def _ffn_call(x2d, norm_w, gu_arrays, dn_arrays, gu_kind, dn_kind, gu_keys,
-              dn_keys, D, F, eps, act_fn, out_dtype, interpret, tf):
+              dn_keys, D, F, eps, act_fn, out_dtype, interpret, tf, i8=False):
     gu = dict(zip(gu_keys, gu_arrays))
     dn = dict(zip(dn_keys, dn_arrays))
     R = x2d.shape[0]
@@ -204,6 +228,7 @@ def _ffn_call(x2d, norm_w, gu_arrays, dn_arrays, gu_kind, dn_kind, gu_keys,
     gu_mins = "mins" in gu
     g4 = GROUP_SIZE[gu_kind]
     gd = GROUP_SIZE[dn_kind]
+    i8 = i8 and gu_kind == "q4"
 
     x_spec = pl.BlockSpec((R, D), lambda j: (0, 0), memory_space=pltpu.VMEM)
     nw_spec = pl.BlockSpec((1, D), lambda j: (0, 0), memory_space=pltpu.VMEM)
@@ -236,12 +261,17 @@ def _ffn_call(x2d, norm_w, gu_arrays, dn_arrays, gu_kind, dn_kind, gu_keys,
     inputs.append(dn["scales"])
 
     kernel = functools.partial(_ffn_kernel, gu_kind, dn_kind, gu_sm, gu_mins,
-                               D, F, TF, nf, eps, act_fn)
+                               i8, D, F, TF, nf, eps, act_fn)
     bytes_accessed = (
         sum(v.size * v.dtype.itemsize for v in gu.values())
         + sum(v.size * v.dtype.itemsize for v in dn.values())
         + 4 * R * D * 2
     )
+    scratch = [pltpu.VMEM((R, D), jnp.float32)]
+    if i8:
+        scratch += [pltpu.VMEM((D // g4, g4, R), jnp.int8),
+                    pltpu.VMEM((D // g4, R), jnp.float32),
+                    pltpu.VMEM((D // g4, R), jnp.float32)]
     y = pl.pallas_call(
         kernel,
         grid=(nf,),
@@ -249,7 +279,7 @@ def _ffn_call(x2d, norm_w, gu_arrays, dn_arrays, gu_kind, dn_kind, gu_keys,
         out_specs=pl.BlockSpec((R, D), lambda j: (0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((R, D), jnp.dtype(out_dtype)),
-        scratch_shapes=[pltpu.VMEM((R, D), jnp.float32)],
+        scratch_shapes=scratch,
         cost_estimate=pl.CostEstimate(
             flops=2 * R * D * 3 * F, bytes_accessed=bytes_accessed,
             transcendentals=R * F,
@@ -284,7 +314,7 @@ def fused_ffn(
         x2d, norm_w, tuple(gu.arrays[k] for k in gu_keys),
         tuple(dn.arrays[k] for k in dn_keys), gu.kind, dn.kind, gu_keys,
         dn_keys, D, F, float(eps), act_fn, jnp.dtype(out_dtype).name,
-        interpret, tf,
+        interpret, tf, i8=int8_folds_enabled(),
     )
     return y.reshape(*lead, D)
 
@@ -341,13 +371,17 @@ def oproj_ffn_enabled(impl: str, wo: QTensor, gu: QTensor, dn: QTensor,
 
 
 def _oproj_ffn_kernel(wo_kind, wo_sm, wo_mins, gu_kind, dn_kind, gu_sm,
-                      gu_mins, dim, K, TKo2, nko, F, TF, nf, eps, act_fn,
-                      *refs):
+                      gu_mins, i8_wo, i8_gu, dim, K, TKo2, nko, F, TF, nf,
+                      eps, act_fn, *refs):
     it = iter(refs)
     x_ref = next(it)
     nw_ref = next(it)
-    a_lo_ref = next(it)
-    a_hi_ref = next(it)
+    if i8_wo:
+        a_full_ref = next(it)  # [R, K] attention output, fetched once
+        a_lo_ref = a_hi_ref = None
+    else:
+        a_lo_ref = next(it)
+        a_hi_ref = next(it)
     if wo_kind == "q4":
         wo_qs = (next(it),)
         wo_s = (next(it), next(it))
@@ -368,13 +402,22 @@ def _oproj_ffn_kernel(wo_kind, wo_sm, wo_mins, gu_kind, dn_kind, gu_sm,
     acc_x = next(it)   # [R, dim] f32: o_proj accumulator
     x2_scr = next(it)  # [R, dim] bf16: post-attention residual stream
     acc = next(it)     # [R, dim] f32: FFN down accumulator
+    if i8_wo:
+        aq_scr, as_scr, ags_scr = next(it), next(it), next(it)
+    if i8_gu:
+        xq_scr, xs_scr, gs_scr = next(it), next(it), next(it)
 
     j = pl.program_id(0)
+    gw = GROUP_SIZE[wo_kind]
+    g4 = GROUP_SIZE[gu_kind]
 
     @pl.when(j == 0)
     def _():
         acc_x[:] = jnp.zeros_like(acc_x)
         acc[:] = jnp.zeros_like(acc)
+        if i8_wo:
+            act_quant_to_scratch(a_full_ref[:].astype(jnp.float32),
+                                 aq_scr, as_scr, ags_scr, gw)
 
     def mm(x, w):
         return jax.lax.dot_general(
@@ -386,28 +429,34 @@ def _oproj_ffn_kernel(wo_kind, wo_sm, wo_mins, gu_kind, dn_kind, gu_sm,
     # ---- phase A: o_proj K-chunk ------------------------------------------
     @pl.when(j < nko)
     def _():
-        gsz = GROUP_SIZE[wo_kind]
-        a_lo = a_lo_ref[:].astype(jnp.bfloat16)
-        a_hi = a_hi_ref[:].astype(jnp.bfloat16)
         if wo_kind == "q4":
             contrib = None
-            for hi, a in ((0, a_lo), (1, a_hi)):
-                q = q4_codes_word(wo_qs[0][:], bool(hi)).astype(jnp.float32)
+            for hi in (0, 1):
                 if wo_sm:
                     sc, mn = _decode_sm(wo_s[hi][:])
                 else:
                     sc = wo_s[hi][:].astype(jnp.float32)
                     mn = wo_m[hi][:].astype(jnp.float32) if wo_m else None
-                w = group_scale_mulsub(q, sc, mn, gsz)
-                d = mm(a, w)
+                if i8_wo:
+                    # chunk j's lo fold = elements [j*TKo2, (j+1)*TKo2),
+                    # hi fold = the same rows + K/2
+                    goff = (K // 2) // gw * hi + j * (TKo2 // gw)
+                    d = int8_group_fold(
+                        aq_scr, as_scr, ags_scr, goff, TKo2 // gw,
+                        q4_codes_word(wo_qs[0][:], bool(hi)), sc, mn, gw)
+                else:
+                    a = (a_lo_ref if hi == 0 else a_hi_ref)[:].astype(jnp.bfloat16)
+                    q = q4_codes_word(wo_qs[0][:], bool(hi)).astype(jnp.float32)
+                    w = group_scale_mulsub(q, sc, mn, gw)
+                    d = mm(a, w)
                 contrib = d if contrib is None else contrib + d
         else:
             contrib = None
-            for hi, a in ((0, a_lo), (1, a_hi)):
+            for hi, a_ref in ((0, a_lo_ref), (1, a_hi_ref)):
                 w = group_scale_mulsub(
                     wo_qs[hi][:].astype(jnp.float32),
-                    wo_s[hi][:].astype(jnp.float32), None, gsz)
-                d = mm(a, w)
+                    wo_s[hi][:].astype(jnp.float32), None, gw)
+                d = mm(a_ref[:].astype(jnp.bfloat16), w)
                 contrib = d if contrib is None else contrib + d
         acc_x[:] = acc_x[:] + contrib
 
@@ -416,15 +465,24 @@ def _oproj_ffn_kernel(wo_kind, wo_sm, wo_mins, gu_kind, dn_kind, gu_sm,
         # attention residual; round acc to bf16 first (matches the unfused
         # qmatmul output dtype), add in f32, round once
         h = acc_x[:].astype(jnp.bfloat16).astype(jnp.float32)
-        x2_scr[:] = (x_ref[:].astype(jnp.float32) + h).astype(jnp.bfloat16)
+        x2 = x_ref[:].astype(jnp.float32) + h
+        x2_scr[:] = x2.astype(jnp.bfloat16)
+        if i8_gu:
+            # norm + activation quant of the FFN input ONCE, here at the
+            # phase boundary (x2 just became available)
+            x2r = x2_scr[:].astype(jnp.float32)
+            var0 = jnp.mean(x2r * x2r, axis=-1, keepdims=True)
+            xn0 = x2r * jax.lax.rsqrt(var0 + eps) * nw_ref[:].astype(jnp.float32)
+            act_quant_to_scratch(xn0, xq_scr, xs_scr, gs_scr, g4)
 
     # ---- phase B: FFN block on x2 (fused_ffn pipeline) --------------------
     @pl.when(j >= nko)
     def _():
-        xf = x2_scr[:].astype(jnp.float32)
-        var = jnp.mean(xf * xf, axis=-1, keepdims=True)
-        xn = (xf * jax.lax.rsqrt(var + eps) * nw_ref[:].astype(jnp.float32)
-              ).astype(jnp.bfloat16)
+        if not i8_gu:
+            xf = x2_scr[:].astype(jnp.float32)
+            var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+            xn = (xf * jax.lax.rsqrt(var + eps) * nw_ref[:].astype(jnp.float32)
+                  ).astype(jnp.bfloat16)
 
         def gu_matmul(qs_ref, s_ref, m_ref):
             g = GROUP_SIZE[gu_kind]
@@ -442,12 +500,18 @@ def _oproj_ffn_kernel(wo_kind, wo_sm, wo_mins, gu_kind, dn_kind, gu_sm,
                 m_all = m_ref[:].astype(jnp.float32) if m_ref is not None else None
             half_g = (dim // 2) // g
             out = None
-            for hi, xs in ((False, xn[:, : dim // 2]), (True, xn[:, dim // 2 :])):
-                q = q4_codes_word(qs_ref[:], hi).astype(jnp.float32)
+            for hi in (False, True):
                 sl = slice(half_g, None) if hi else slice(0, half_g)
-                w = group_scale_mulsub(
-                    q, s_all[sl], m_all[sl] if m_all is not None else None, g)
-                d = mm(xs, w)
+                s_h = s_all[sl]
+                m_h = m_all[sl] if m_all is not None else None
+                if i8_gu:
+                    d = int8_group_fold(
+                        xq_scr, xs_scr, gs_scr, half_g if hi else 0, half_g,
+                        q4_codes_word(qs_ref[:], hi), s_h, m_h, g)
+                else:
+                    q = q4_codes_word(qs_ref[:], hi).astype(jnp.float32)
+                    w = group_scale_mulsub(q, s_h, m_h, g)
+                    d = mm(xn[:, dim // 2:] if hi else xn[:, : dim // 2], w)
                 out = d if out is None else out + d
             return out
 
@@ -473,15 +537,18 @@ def _oproj_ffn_kernel(wo_kind, wo_sm, wo_mins, gu_kind, dn_kind, gu_sm,
     jax.jit,
     static_argnames=("wo_kind", "gu_kind", "dn_kind", "wo_keys", "gu_keys",
                      "dn_keys", "dim", "K", "F", "eps", "act_fn", "out_dtype",
-                     "interpret", "tko", "tf"),
+                     "interpret", "tko", "tf", "i8"),
 )
 def _oproj_ffn_call(x2d, attn2d, norm_w, wo_arrays, gu_arrays, dn_arrays,
                     wo_kind, gu_kind, dn_kind, wo_keys, gu_keys, dn_keys,
-                    dim, K, F, eps, act_fn, out_dtype, interpret, tko, tf):
+                    dim, K, F, eps, act_fn, out_dtype, interpret, tko, tf,
+                    i8=False):
     wo = dict(zip(wo_keys, wo_arrays))
     gu = dict(zip(gu_keys, gu_arrays))
     dn = dict(zip(dn_keys, dn_arrays))
     R = x2d.shape[0]
+    i8_wo = i8 and wo_kind == "q4"
+    i8_gu = i8 and gu_kind == "q4"
 
     TKo2 = tko
     while (K // 2) % TKo2:
@@ -508,12 +575,20 @@ def _oproj_ffn_call(x2d, attn2d, norm_w, wo_arrays, gu_arrays, dn_arrays,
 
     x_spec = pl.BlockSpec((R, dim), lambda j: (0, 0), memory_space=pltpu.VMEM)
     nw_spec = pl.BlockSpec((1, dim), lambda j: (0, 0), memory_space=pltpu.VMEM)
-    alo_spec = pl.BlockSpec((R, TKo2), lambda j: (0, clampo(j)),
-                            memory_space=pltpu.VMEM)
-    ahi_spec = pl.BlockSpec((R, TKo2), lambda j: (0, nko + clampo(j)),
-                            memory_space=pltpu.VMEM)
-    in_specs = [x_spec, nw_spec, alo_spec, ahi_spec]
-    inputs = [x2d, norm_w.reshape(1, dim), attn2d, attn2d]
+    in_specs = [x_spec, nw_spec]
+    inputs = [x2d, norm_w.reshape(1, dim)]
+    if i8_wo:
+        # int8 folds read the quantized attn scratch; fetch attn once whole
+        in_specs.append(pl.BlockSpec((R, K), lambda j: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        inputs.append(attn2d)
+    else:
+        alo_spec = pl.BlockSpec((R, TKo2), lambda j: (0, clampo(j)),
+                                memory_space=pltpu.VMEM)
+        ahi_spec = pl.BlockSpec((R, TKo2), lambda j: (0, nko + clampo(j)),
+                                memory_space=pltpu.VMEM)
+        in_specs += [alo_spec, ahi_spec]
+        inputs += [attn2d, attn2d]
 
     # Wo chunk blocks (kmajor [K(/2), dim])
     wo_sg = TKo2 // gw
@@ -566,14 +641,28 @@ def _oproj_ffn_call(x2d, attn2d, norm_w, wo_arrays, gu_arrays, dn_arrays,
     inputs.append(dn["scales"])
 
     kernel = functools.partial(_oproj_ffn_kernel, wo_kind, wo_sm, wo_mins,
-                               gu_kind, dn_kind, gu_sm, gu_mins, dim, K, TKo2,
-                               nko, F, TF, nf, eps, act_fn)
+                               gu_kind, dn_kind, gu_sm, gu_mins, i8_wo, i8_gu,
+                               dim, K, TKo2, nko, F, TF, nf, eps, act_fn)
     bytes_accessed = (
         sum(v.size * v.dtype.itemsize for v in wo.values())
         + sum(v.size * v.dtype.itemsize for v in gu.values())
         + sum(v.size * v.dtype.itemsize for v in dn.values())
         + 2 * R * (K + 3 * dim)
     )
+    scratch = [
+        pltpu.VMEM((R, dim), jnp.float32),
+        pltpu.VMEM((R, dim), jnp.bfloat16),
+        pltpu.VMEM((R, dim), jnp.float32),
+    ]
+    if i8_wo:
+        scratch += [pltpu.VMEM((K // gw, gw, R), jnp.int8),
+                    pltpu.VMEM((K // gw, R), jnp.float32),
+                    pltpu.VMEM((K // gw, R), jnp.float32)]
+    if i8_gu:
+        g4 = GROUP_SIZE[gu_kind]
+        scratch += [pltpu.VMEM((dim // g4, g4, R), jnp.int8),
+                    pltpu.VMEM((dim // g4, R), jnp.float32),
+                    pltpu.VMEM((dim // g4, R), jnp.float32)]
     y = pl.pallas_call(
         kernel,
         grid=(n_steps,),
@@ -581,11 +670,7 @@ def _oproj_ffn_call(x2d, attn2d, norm_w, wo_arrays, gu_arrays, dn_arrays,
         out_specs=pl.BlockSpec((R, dim), lambda j: (0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((R, dim), jnp.dtype(out_dtype)),
-        scratch_shapes=[
-            pltpu.VMEM((R, dim), jnp.float32),
-            pltpu.VMEM((R, dim), jnp.bfloat16),
-            pltpu.VMEM((R, dim), jnp.float32),
-        ],
+        scratch_shapes=scratch,
         cost_estimate=pl.CostEstimate(
             flops=2 * R * dim * (K + 3 * F), bytes_accessed=bytes_accessed,
             transcendentals=R * F,
@@ -627,6 +712,6 @@ def fused_oproj_ffn(
         tuple(dn.arrays[k] for k in dn_keys),
         wo.kind, gu.kind, dn.kind, wo_keys, gu_keys, dn_keys,
         dim, K, F, float(eps), act_fn, jnp.dtype(out_dtype).name, interpret,
-        tko, tf,
+        tko, tf, i8=int8_folds_enabled(),
     )
     return y.reshape(*lead, dim)
