@@ -37,6 +37,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from tpu_kquant.ops.pallas_dequant import (
     act_quant_to_scratch,
+    group_scale_mul_sp,
     group_scale_mulsub,
     int8_folds_enabled,
     int8_group_fold,
@@ -117,7 +118,7 @@ def _attn_in_kernel(specs, i8, D, TK2, nk, half_rot, eps, nw_scale, *refs):
     x_lo_ref = next(it)
     x_hi_ref = next(it)
     wrefs = []
-    for kind, has_sm, has_mins, _ in specs:
+    for kind, has_sm, has_mins, _, _sp in specs:
         if kind == "q4":
             qs = (next(it),)
             s = (next(it), next(it))
@@ -165,7 +166,8 @@ def _attn_in_kernel(specs, i8, D, TK2, nk, half_rot, eps, nw_scale, *refs):
             preferred_element_type=jnp.float32,
         )
 
-    for (kind, has_sm, has_mins, _), (qs, s, m), acc in zip(specs, wrefs, accs):
+    for (kind, has_sm, has_mins, _, has_sp), (qs, s, m), acc in zip(
+            specs, wrefs, accs):
         g = GROUP_SIZE[kind]
         if kind == "q4":
             contrib = None
@@ -191,8 +193,13 @@ def _attn_in_kernel(specs, i8, D, TK2, nk, half_rot, eps, nw_scale, *refs):
         else:
             contrib = None
             for hi, x_chunk in ((0, x_lo), (1, x_hi)):
-                w = group_scale_mulsub(qs[hi][:].astype(jnp.float32),
-                                       s[hi][:].astype(jnp.float32), None, g)
+                if has_sp:
+                    w = group_scale_mul_sp(qs[hi][:].astype(jnp.float32),
+                                           s[hi][:], g)
+                else:
+                    w = group_scale_mulsub(qs[hi][:].astype(jnp.float32),
+                                           s[hi][:].astype(jnp.float32),
+                                           None, g)
                 d = mm(x_chunk, w)
                 contrib = d if contrib is None else contrib + d
         acc[:] = acc[:] + contrib
@@ -262,9 +269,10 @@ def _attn_in_call(x2d, norm_w, flat_arrays, cos_full, sin_full, flat_biases,
         a = dict(zip(kkeys, [next(ai) for _ in kkeys]))
         g = GROUP_SIZE[kind]
         has_sm = "sm" in a
+        has_sp = "sp" in a
         has_mins = "mins" in a
-        sg = TK2 // g
-        s_key = "sm" if has_sm else "scales"
+        sg = TK2 // (2 * g) if has_sp else TK2 // g
+        s_key = "sm" if has_sm else ("sp" if has_sp else "scales")
         lo_s = pl.BlockSpec((sg, N), lambda k: (k, 0), memory_space=pltpu.VMEM)
         hi_s = pl.BlockSpec((sg, N), lambda k, _o=(D // 2) // TK2: (_o + k, 0),
                             memory_space=pltpu.VMEM)
@@ -284,7 +292,7 @@ def _attn_in_call(x2d, norm_w, flat_arrays, cos_full, sin_full, flat_biases,
                                 (_o + k, 0), memory_space=pltpu.VMEM)
             in_specs += [lo_q, hi_q, lo_s, hi_s]
             inputs += [a["qs"], a["qs"], a[s_key], a[s_key]]
-        specs.append((kind, has_sm, has_mins, False))
+        specs.append((kind, has_sm, has_mins, False, has_sp))
 
     n0 = ns[0]
     cs_spec = pl.BlockSpec((R, n0), lambda k: (0, 0), memory_space=pltpu.VMEM)
@@ -293,7 +301,7 @@ def _attn_in_call(x2d, norm_w, flat_arrays, cos_full, sin_full, flat_biases,
     bi = iter(flat_biases)
     for i, hb in enumerate(has_bias):
         if hb:
-            specs[i] = specs[i][:3] + (True,)
+            specs[i] = specs[i][:3] + (True,) + specs[i][4:]
             in_specs.append(pl.BlockSpec((1, ns[i]), lambda k: (0, 0),
                                          memory_space=pltpu.VMEM))
             inputs.append(next(bi).reshape(1, ns[i]))

@@ -82,6 +82,20 @@ def group_scale_mulsub(
     return w.reshape(TK, TN)
 
 
+def group_scale_mul_sp(q_f32: jnp.ndarray, sp_block: jnp.ndarray,
+                       g: int) -> jnp.ndarray:
+    """w = q * s for flat kinds with adjacent-group bf16 scale pairs
+    (quant.repack.pack_scale_kpairs). sp_block: [TK/(2g), TN] f32 container;
+    low 16 bits = even group's bf16 scale, high 16 = odd group's."""
+    TK, TN = q_f32.shape
+    bits = jax.lax.bitcast_convert_type(sp_block, jnp.int32)
+    s_even = jax.lax.bitcast_convert_type(bits << 16, jnp.float32)
+    s_odd = jax.lax.bitcast_convert_type(bits & jnp.int32(-65536), jnp.float32)
+    q4d = q_f32.reshape(TK // (2 * g), 2, g, TN)
+    w = q4d * jnp.stack([s_even, s_odd], axis=1)[:, :, None, :]
+    return w.reshape(TK, TN)
+
+
 def act_quant_to_scratch(xn_f32, xq_scr, xs_scr, gs_scr, g: int) -> None:
     """Quantize a [R, K] f32 activation row-block into group-major int8
     scratch: xq [K/g, g, R] i8, xs [K/g, R] f32 scales, gs [K/g, R] f32

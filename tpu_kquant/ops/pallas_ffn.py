@@ -37,6 +37,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from tpu_kquant.ops.pallas_dequant import (
     act_quant_to_scratch,
+    group_scale_mul_sp,
     group_scale_mulsub,
     int8_folds_enabled,
     int8_group_fold,
@@ -108,8 +109,8 @@ def _decode_sm(sm_block):
     return s, m
 
 
-def _ffn_kernel(gu_kind, dn_kind, gu_sm, gu_mins, i8, D, F, TF, nf, eps,
-                act_fn, *refs):
+def _ffn_kernel(gu_kind, dn_kind, gu_sm, gu_sp, gu_mins, dn_sp, i8, D, F,
+                TF, nf, eps, act_fn, *refs):
     it = iter(refs)
     x_ref = next(it)
     nw_ref = next(it)
@@ -151,10 +152,15 @@ def _ffn_kernel(gu_kind, dn_kind, gu_sm, gu_mins, i8, D, F, TF, nf, eps,
         """x_n @ dequant(W_chunk) -> [R, TF] f32."""
         g = GROUP_SIZE[gu_kind]
         if gu_kind in _FLAT_KINDS:
-            w = group_scale_mulsub(
-                qs_ref[:].astype(jnp.float32),
-                s_ref[:].astype(jnp.float32),
-                m_ref[:].astype(jnp.float32) if m_ref is not None else None, g)
+            if gu_sp:
+                w = group_scale_mul_sp(qs_ref[:].astype(jnp.float32),
+                                       s_ref[:], g)
+            else:
+                w = group_scale_mulsub(
+                    qs_ref[:].astype(jnp.float32),
+                    s_ref[:].astype(jnp.float32),
+                    m_ref[:].astype(jnp.float32) if m_ref is not None else None,
+                    g)
             return jax.lax.dot_general(
                 xn, w.astype(jnp.bfloat16),
                 dimension_numbers=(((1,), (0,)), ((), ())),
@@ -199,8 +205,11 @@ def _ffn_kernel(gu_kind, dn_kind, gu_sm, gu_mins, i8, D, F, TF, nf, eps,
 
     # down chunk: rows [j*TF, (j+1)*TF) of the flat [F, D] codes
     gd = GROUP_SIZE[dn_kind]
-    wd = group_scale_mulsub(d_qs[:].astype(jnp.float32),
-                            d_s[:].astype(jnp.float32), None, gd)
+    if dn_sp:
+        wd = group_scale_mul_sp(d_qs[:].astype(jnp.float32), d_s[:], gd)
+    else:
+        wd = group_scale_mulsub(d_qs[:].astype(jnp.float32),
+                                d_s[:].astype(jnp.float32), None, gd)
     acc[:] = acc[:] + jax.lax.dot_general(
         a, wd.astype(jnp.bfloat16),
         dimension_numbers=(((1,), (0,)), ((), ())),
@@ -225,7 +234,9 @@ def _ffn_call(x2d, norm_w, gu_arrays, dn_arrays, gu_kind, dn_kind, gu_keys,
     TF = tf or _pick_tf(F, D)
     nf = F // TF
     gu_sm = "sm" in gu
+    gu_sp = "sp" in gu
     gu_mins = "mins" in gu
+    dn_sp = "sp" in dn
     g4 = GROUP_SIZE[gu_kind]
     gd = GROUP_SIZE[dn_kind]
     i8 = i8 and gu_kind == "q4"
@@ -239,8 +250,8 @@ def _ffn_call(x2d, norm_w, gu_arrays, dn_arrays, gu_kind, dn_kind, gu_keys,
                             memory_space=pltpu.VMEM)
     uqs_spec = pl.BlockSpec((qs_rows, TF), lambda j: (0, F // TF + j),
                             memory_space=pltpu.VMEM)
-    s_key = "sm" if gu_sm else "scales"
-    s_rows = gu[s_key].shape[0]  # D/g
+    s_key = "sm" if gu_sm else ("sp" if gu_sp else "scales")
+    s_rows = gu[s_key].shape[0]  # D/g (D/2g for sp)
     gs_spec = pl.BlockSpec((s_rows, TF), lambda j: (0, j),
                            memory_space=pltpu.VMEM)
     us_spec = pl.BlockSpec((s_rows, TF), lambda j: (0, F // TF + j),
@@ -256,12 +267,13 @@ def _ffn_call(x2d, norm_w, gu_arrays, dn_arrays, gu_kind, dn_kind, gu_keys,
     in_specs.append(pl.BlockSpec((TF, D), lambda j: (j, 0),
                                  memory_space=pltpu.VMEM))
     inputs.append(dn["qs"])
-    in_specs.append(pl.BlockSpec((TF // gd, D), lambda j: (j, 0),
+    d_s_rows = TF // (2 * gd) if dn_sp else TF // gd
+    in_specs.append(pl.BlockSpec((d_s_rows, D), lambda j: (j, 0),
                                  memory_space=pltpu.VMEM))
-    inputs.append(dn["scales"])
+    inputs.append(dn["sp"] if dn_sp else dn["scales"])
 
-    kernel = functools.partial(_ffn_kernel, gu_kind, dn_kind, gu_sm, gu_mins,
-                               i8, D, F, TF, nf, eps, act_fn)
+    kernel = functools.partial(_ffn_kernel, gu_kind, dn_kind, gu_sm, gu_sp,
+                               gu_mins, dn_sp, i8, D, F, TF, nf, eps, act_fn)
     bytes_accessed = (
         sum(v.size * v.dtype.itemsize for v in gu.values())
         + sum(v.size * v.dtype.itemsize for v in dn.values())
@@ -370,9 +382,9 @@ def oproj_ffn_enabled(impl: str, wo: QTensor, gu: QTensor, dn: QTensor,
         return False
 
 
-def _oproj_ffn_kernel(wo_kind, wo_sm, wo_mins, gu_kind, dn_kind, gu_sm,
-                      gu_mins, i8_wo, i8_gu, dim, K, TKo2, nko, F, TF, nf,
-                      eps, act_fn, *refs):
+def _oproj_ffn_kernel(wo_kind, wo_sm, wo_sp, wo_mins, gu_kind, dn_kind,
+                      gu_sm, gu_sp, gu_mins, dn_sp, i8_wo, i8_gu, dim, K,
+                      TKo2, nko, F, TF, nf, eps, act_fn, *refs):
     it = iter(refs)
     x_ref = next(it)
     nw_ref = next(it)
@@ -453,9 +465,13 @@ def _oproj_ffn_kernel(wo_kind, wo_sm, wo_mins, gu_kind, dn_kind, gu_sm,
         else:
             contrib = None
             for hi, a_ref in ((0, a_lo_ref), (1, a_hi_ref)):
-                w = group_scale_mulsub(
-                    wo_qs[hi][:].astype(jnp.float32),
-                    wo_s[hi][:].astype(jnp.float32), None, gw)
+                if wo_sp:
+                    w = group_scale_mul_sp(wo_qs[hi][:].astype(jnp.float32),
+                                           wo_s[hi][:], gw)
+                else:
+                    w = group_scale_mulsub(
+                        wo_qs[hi][:].astype(jnp.float32),
+                        wo_s[hi][:].astype(jnp.float32), None, gw)
                 d = mm(a_ref[:].astype(jnp.bfloat16), w)
                 contrib = d if contrib is None else contrib + d
         acc_x[:] = acc_x[:] + contrib
@@ -487,11 +503,15 @@ def _oproj_ffn_kernel(wo_kind, wo_sm, wo_mins, gu_kind, dn_kind, gu_sm,
         def gu_matmul(qs_ref, s_ref, m_ref):
             g = GROUP_SIZE[gu_kind]
             if gu_kind in _FLAT_KINDS:
-                w = group_scale_mulsub(
-                    qs_ref[:].astype(jnp.float32),
-                    s_ref[:].astype(jnp.float32),
-                    m_ref[:].astype(jnp.float32) if m_ref is not None else None,
-                    g)
+                if gu_sp:
+                    w = group_scale_mul_sp(qs_ref[:].astype(jnp.float32),
+                                           s_ref[:], g)
+                else:
+                    w = group_scale_mulsub(
+                        qs_ref[:].astype(jnp.float32),
+                        s_ref[:].astype(jnp.float32),
+                        m_ref[:].astype(jnp.float32) if m_ref is not None
+                        else None, g)
                 return mm(xn, w)
             if gu_sm:
                 s_all, m_all = _decode_sm(s_ref[:])
@@ -524,8 +544,11 @@ def _oproj_ffn_kernel(wo_kind, wo_sm, wo_mins, gu_kind, dn_kind, gu_sm,
         a = a.astype(jnp.bfloat16)
 
         gd = GROUP_SIZE[dn_kind]
-        wd = group_scale_mulsub(d_qs[:].astype(jnp.float32),
-                                d_s[:].astype(jnp.float32), None, gd)
+        if dn_sp:
+            wd = group_scale_mul_sp(d_qs[:].astype(jnp.float32), d_s[:], gd)
+        else:
+            wd = group_scale_mulsub(d_qs[:].astype(jnp.float32),
+                                    d_s[:].astype(jnp.float32), None, gd)
         acc[:] = acc[:] + mm(a, wd)
 
     @pl.when(j == nko + nf - 1)
@@ -561,9 +584,12 @@ def _oproj_ffn_call(x2d, attn2d, norm_w, wo_arrays, gu_arrays, dn_arrays,
     n_steps = nko + nf
 
     wo_sm = "sm" in wo
+    wo_sp = "sp" in wo
     wo_mins = "mins" in wo
     gu_sm = "sm" in gu
+    gu_sp = "sp" in gu
     gu_mins = "mins" in gu
+    dn_sp = "sp" in dn
     gw = GROUP_SIZE[wo_kind]
     gd = GROUP_SIZE[dn_kind]
 
@@ -591,8 +617,8 @@ def _oproj_ffn_call(x2d, attn2d, norm_w, wo_arrays, gu_arrays, dn_arrays,
         inputs += [attn2d, attn2d]
 
     # Wo chunk blocks (kmajor [K(/2), dim])
-    wo_sg = TKo2 // gw
-    wo_skey = "sm" if wo_sm else "scales"
+    wo_sg = TKo2 // (2 * gw) if wo_sp else TKo2 // gw
+    wo_skey = "sm" if wo_sm else ("sp" if wo_sp else "scales")
     wlo_s = pl.BlockSpec((wo_sg, dim), lambda j: (clampo(j), 0),
                          memory_space=pltpu.VMEM)
     whi_s = pl.BlockSpec((wo_sg, dim), lambda j: (nko + clampo(j), 0),
@@ -618,7 +644,7 @@ def _oproj_ffn_call(x2d, attn2d, norm_w, wo_arrays, gu_arrays, dn_arrays,
 
     # gate/up + down blocks (fused_ffn geometry, clamped to phase B)
     qs_rows = gu["qs"].shape[0]
-    s_key = "sm" if gu_sm else "scales"
+    s_key = "sm" if gu_sm else ("sp" if gu_sp else "scales")
     s_rows = gu[s_key].shape[0]
     gqs_spec = pl.BlockSpec((qs_rows, TF), lambda j: (0, clampf(j)),
                             memory_space=pltpu.VMEM)
@@ -636,12 +662,14 @@ def _oproj_ffn_call(x2d, attn2d, norm_w, wo_arrays, gu_arrays, dn_arrays,
     in_specs.append(pl.BlockSpec((TF, dim), lambda j: (clampf(j), 0),
                                  memory_space=pltpu.VMEM))
     inputs.append(dn["qs"])
-    in_specs.append(pl.BlockSpec((TF // gd, dim), lambda j: (clampf(j), 0),
+    d_s_rows = TF // (2 * gd) if dn_sp else TF // gd
+    in_specs.append(pl.BlockSpec((d_s_rows, dim), lambda j: (clampf(j), 0),
                                  memory_space=pltpu.VMEM))
-    inputs.append(dn["scales"])
+    inputs.append(dn["sp"] if dn_sp else dn["scales"])
 
-    kernel = functools.partial(_oproj_ffn_kernel, wo_kind, wo_sm, wo_mins,
-                               gu_kind, dn_kind, gu_sm, gu_mins, i8_wo, i8_gu,
+    kernel = functools.partial(_oproj_ffn_kernel, wo_kind, wo_sm, wo_sp,
+                               wo_mins, gu_kind, dn_kind, gu_sm, gu_sp,
+                               gu_mins, dn_sp, i8_wo, i8_gu,
                                dim, K, TKo2, nko, F, TF, nf, eps, act_fn)
     bytes_accessed = (
         sum(v.size * v.dtype.itemsize for v in wo.values())

@@ -63,6 +63,8 @@ def layer_supported(wqk: QTensor, wv: QTensor, wo: QTensor, gu: QTensor,
     for w in (wqk, wv, wo, gu, dn):
         if w.layout != "kmajor" or w.kind not in _KINDS:
             return False
+        if "sp" in w.arrays:  # adjacent-pair scales: not plumbed here
+            return False
     if wqk.shape != ((H + Hkv) * hd, D) or wv.shape != (Hkv * hd, D):
         return False
     if wo.shape[0] != D or wo.shape[-1] != H * hd or (H * hd) % 1024:

@@ -28,7 +28,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from tpu_kquant.ops.pallas_dequant import group_scale_mulsub, q4_codes_word
+from tpu_kquant.ops.pallas_dequant import (
+    group_scale_mul_sp,
+    group_scale_mulsub,
+    q4_codes_word,
+)
 from tpu_kquant.quant.qtensor import QTensor
 from tpu_kquant.quant.repack import GROUP_SIZE
 
@@ -91,7 +95,8 @@ def _codes_for_fold(kind, qs, qh, a, K, hi_fold):
     return q2 | ((_dyn_rshift(qh, shh) & 1) << 2)
 
 
-def _qmm_kernel(kind, g, K, TK2, nk, has_qh, has_mins, has_hi, has_sm, *refs):
+def _qmm_kernel(kind, g, K, TK2, nk, has_qh, has_mins, has_hi, has_sm,
+                has_sp, *refs):
     it = iter(refs)
     x_lo = next(it)
     x_hi = next(it) if has_hi else None
@@ -123,7 +128,10 @@ def _qmm_kernel(kind, g, K, TK2, nk, has_qh, has_mins, has_hi, has_sm, *refs):
             q = q4_codes_word(qs_ref[:], hi_fold).astype(jnp.float32)
         else:
             q = _codes_for_fold(kind, qs, qh, a, K, hi_fold).astype(jnp.float32)
-        if has_sm:
+        if has_sp:
+            # adjacent-group bf16 scale pairs (pack_scale_kpairs, flat kinds)
+            w = group_scale_mul_sp(q, s_ref[:], g)
+        elif has_sm:
             # packed-pair scales: f32 container, low 16 bits = bf16(scale)
             # bits, high 16 = bf16(min) bits (quant.repack.pack_scale_pairs)
             bits = jax.lax.bitcast_convert_type(s_ref[:], jnp.int32)
@@ -165,6 +173,7 @@ def _qmm_call(x2d, arrays_tuple, kind, shape, keys, out_dtype, interpret, tn, tb
     g = GROUP_SIZE[kind]
     has_qh = "qh" in a
     has_sm = "sm" in a
+    has_sp = "sp" in a  # flat kinds, adjacent-group scale pairs
     has_mins = "mins" in a
     has_hi = kind not in ("q8", "q6w")
 
@@ -188,7 +197,11 @@ def _qmm_call(x2d, arrays_tuple, kind, shape, keys, out_dtype, interpret, tn, tb
     kdepth = K // 2 if has_hi else K
     nb, ni, nk = pl.cdiv(B, TB), pl.cdiv(N, TN), kdepth // TK2
 
-    sg = TK2 // g
+    if has_sp:
+        assert TK2 % (2 * g) == 0, (TK2, g)
+        sg = TK2 // (2 * g)
+    else:
+        sg = TK2 // g
     qs_rows = a["qs"].shape[0]
     qh_rows = a["qh"].shape[0] if has_qh else 1
 
@@ -224,7 +237,7 @@ def _qmm_call(x2d, arrays_tuple, kind, shape, keys, out_dtype, interpret, tn, tb
     s_hi_spec = pl.BlockSpec(
         (sg, TN), lambda b, i, k: ((K // 2) // TK2 + k, i), memory_space=pltpu.VMEM
     )
-    s_arr = a["sm"] if has_sm else a["scales"]
+    s_arr = a["sm"] if has_sm else (a["sp"] if has_sp else a["scales"])
     in_specs.append(s_lo_spec)
     inputs.append(s_arr)
     if has_hi:
@@ -238,7 +251,8 @@ def _qmm_call(x2d, arrays_tuple, kind, shape, keys, out_dtype, interpret, tn, tb
             inputs.append(a["mins"])
 
     kernel = functools.partial(
-        _qmm_kernel, kind, g, K, TK2, nk, has_qh, has_mins, has_hi, has_sm
+        _qmm_kernel, kind, g, K, TK2, nk, has_qh, has_mins, has_hi, has_sm,
+        has_sp,
     )
     bytes_accessed = (
         sum(v.size * v.dtype.itemsize for v in a.values()) + 2 * B * K + 4 * B * N

@@ -63,6 +63,12 @@ def unpack_scale_pairs(sm: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
 def _scales_mins(arrays) -> tuple[jnp.ndarray, jnp.ndarray | None]:
     if "sm" in arrays:
         return unpack_scale_pairs(arrays["sm"])
+    if "sp" in arrays:
+        # adjacent-group bf16 scale pairs (quant.repack.pack_scale_kpairs):
+        # re-interleave the group axis (low bits = even group, high = odd)
+        even, odd = unpack_scale_pairs(arrays["sp"])
+        s2 = jnp.stack([even, odd], axis=-2)  # [..., G/2, 2, N]
+        return s2.reshape(*s2.shape[:-3], -1, s2.shape[-1]), None
     s = arrays["scales"].astype(jnp.float32)
     m = arrays["mins"].astype(jnp.float32) if "mins" in arrays else None
     return s, m

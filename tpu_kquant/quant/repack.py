@@ -242,6 +242,48 @@ def unpack_scale_pairs_np(sm: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return s, m
 
 
+def pack_scale_kpairs(qt: QTensor) -> QTensor:
+    """Flat-kind (q6w/q8) per-group f32 scales -> ``sp``: ADJACENT-group bf16
+    scale pairs in one f32 container (low 16 bits = bf16(scales[2j]), high
+    16 = bf16(scales[2j+1])).
+
+    Same container trick as pack_scale_pairs, pairing along K instead of
+    (scale, min): halves the scale-plane HBM traffic while keeping native
+    8-sublane f32 tiles. The scale planes are a large fraction of flat-kind
+    bytes — q6w at g=16 stores 0.25 f32 bytes per weight byte (20% of the
+    Q4_K_M lm head / ffn_down traffic); bf16 pairs cut that to 10%.
+    bf16 scale rounding costs ~2^-9 relative, same budget already accepted
+    for the q4 ``sm`` pairs under scale_dtype='bf16'."""
+    if qt.kind not in ("q6w", "q8") or "scales" not in qt.arrays:
+        return qt
+    import ml_dtypes
+
+    s = np.asarray(qt.arrays["scales"], dtype=np.float32)
+    if s.shape[-2] % 2:
+        return qt
+    sb = s.astype(ml_dtypes.bfloat16).view(np.uint16).astype(np.uint32)
+    even = sb[..., 0::2, :]
+    odd = sb[..., 1::2, :]
+    sp = (even | (odd << 16)).view(np.float32)
+    arrays = {k: v for k, v in qt.arrays.items() if k != "scales"}
+    arrays["sp"] = sp
+    return QTensor(qt.kind, qt.layout, qt.shape, arrays)
+
+
+def unpack_scale_kpairs_np(sp: np.ndarray) -> np.ndarray:
+    """NumPy inverse of pack_scale_kpairs: sp f32-container -> scales f32
+    with the group axis re-interleaved (twice the rows of sp)."""
+    bits = sp.view(np.uint32)
+    even = (bits << 16).astype(np.uint32).view(np.float32)
+    odd = (bits & np.uint32(0xFFFF0000)).view(np.float32)
+    out_shape = list(sp.shape)
+    out_shape[-2] *= 2
+    out = np.empty(out_shape, np.float32)
+    out[..., 0::2, :] = even
+    out[..., 1::2, :] = odd
+    return out
+
+
 def repack(
     raw: np.ndarray,
     ggml_type: GGMLType,

@@ -18,7 +18,12 @@ import numpy as np
 from tpu_kquant.gguf import GGUFReader
 from tpu_kquant.models.config import ModelConfig
 from tpu_kquant.quant.qtensor import QTensor
-from tpu_kquant.quant.repack import pack_scale_pairs, repack, widen_q6
+from tpu_kquant.quant.repack import (
+    pack_scale_kpairs,
+    pack_scale_pairs,
+    repack,
+    widen_q6,
+)
 
 # supported architecture name aliases -> llama-family forward
 LLAMA_FAMILY = {"llama", "mistral", "qwen2", "tinyllama", "mixtral", "phi3",
@@ -31,6 +36,12 @@ def _put(qt: QTensor, put: Callable[[str, QTensor], QTensor] | None, name: str) 
     return QTensor(qt.kind, qt.layout, qt.shape, {k: jnp.asarray(v) for k, v in qt.arrays.items()})
 
 
+def _kpairs_on() -> bool:
+    import os
+
+    return os.environ.get("TKQ_SCALE_KPAIRS", "1") == "1"
+
+
 def _repack_named(r: GGUFReader, name: str, layout: str, scale_dtype=np.float32,
                   pack_pairs: bool = False, widen: bool = False) -> QTensor:
     ti = r.tensors[name]
@@ -38,7 +49,11 @@ def _repack_named(r: GGUFReader, name: str, layout: str, scale_dtype=np.float32,
                 scale_dtype=scale_dtype)
     if widen:
         qt = widen_q6(qt)
-    return pack_scale_pairs(qt) if pack_pairs else qt
+    if pack_pairs:
+        qt = pack_scale_pairs(qt)
+        if layout == "kmajor" and _kpairs_on():
+            qt = pack_scale_kpairs(qt)
+    return qt
 
 
 def _repack_row_slice(r: GGUFReader, name: str, r0: int, r1: int, layout: str,
@@ -55,7 +70,11 @@ def _repack_row_slice(r: GGUFReader, name: str, r0: int, r1: int, layout: str,
                 (r1 - r0, K), layout=layout, scale_dtype=scale_dtype)
     if widen:
         qt = widen_q6(qt)
-    return pack_scale_pairs(qt) if pack_pairs else qt
+    if pack_pairs:
+        qt = pack_scale_pairs(qt)
+        if layout == "kmajor" and _kpairs_on():
+            qt = pack_scale_kpairs(qt)
+    return qt
 
 
 def _expert_split(r: GGUFReader, name: str, scale_dtype=np.float32,
@@ -72,7 +91,11 @@ def _expert_split(r: GGUFReader, name: str, scale_dtype=np.float32,
     ]
     if widen:
         qts = [widen_q6(q) for q in qts]
-    return [pack_scale_pairs(q) for q in qts] if pack_pairs else qts
+    if pack_pairs:
+        qts = [pack_scale_pairs(q) for q in qts]
+        if _kpairs_on():
+            qts = [pack_scale_kpairs(q) for q in qts]
+    return qts
 
 
 def _rope_neox_perm(n_feats: int, head_dim: int) -> np.ndarray:
