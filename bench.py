@@ -59,6 +59,8 @@ def main():
     ap.add_argument("--reps", type=int, default=5,
                     help="timed repetitions (compile warmup excluded; "
                          "mean±σ + median reported, reference README style)")
+    ap.add_argument("--no-smoke", action="store_true",
+                    help="skip the pre-bench kernel compile smoke")
     args = ap.parse_args()
 
     import jax
@@ -74,6 +76,27 @@ def main():
     import numpy as np
 
     log(f"devices: {jax.devices()}")
+
+    # Pre-bench kernel compile smoke (VERDICT r2 item 4): every Pallas kernel
+    # this preset dispatches must Mosaic-compile on the real backend BEFORE
+    # any number is produced — an aa8e852-class verification failure fails
+    # here loudly instead of inside the bench. Compiles land in the shared
+    # persistent cache, so reruns cost seconds.
+    if not args.no_smoke:
+        import tools_kernel_smoke as _smoke
+
+        preset_key = "8b" if args.preset == "llama3-8b" else "tiny"
+        _results: list = []
+        t0 = time.time()
+        _smoke.smoke_model(preset_key, _results)
+        n_fail = sum(1 for r in _results if not r["ok"])
+        log(f"kernel smoke ({preset_key}): {len(_results) - n_fail}/"
+            f"{len(_results)} compiled in {time.time() - t0:.0f}s")
+        if n_fail:
+            for r in _results:
+                if not r["ok"]:
+                    log(f"  FAILED: {r['case']}: {r.get('error', '')[:200]}")
+            sys.exit(1)
 
     from tpu_kquant.models.fixtures import llama3_8b_config, tinyllama_1b_config
     from tpu_kquant.runtime import InferenceEngine, load_model
@@ -102,6 +125,43 @@ def main():
 
     half = args.tg // 2
 
+    # --- pp marginal-rate chain: n full prefill forwards inside ONE jitted
+    # lax.scan. A single prefill dispatch pays the tunneled dev setup's ~22 ms
+    # RTT (a real TPU VM does not) — over half of a 512-token step at tiny
+    # scale — so, like the tg marginal rate, pp is measured as the DIFFERENCE
+    # of chains of n and 2n prefills. Each iteration perturbs the tokens from
+    # the carry so XLA cannot hoist the forward out of the scan.
+    from functools import partial as _partial
+
+    from tpu_kquant.models.llama import llama_forward as _fwd
+
+    @_partial(jax.jit, static_argnums=(2,))
+    def _pp_chain(params, toks, n):
+        positions = jnp.broadcast_to(
+            jnp.arange(toks.shape[1], dtype=jnp.int32), toks.shape)
+
+        def body(c, _):
+            t = toks - (c.astype(jnp.int32) & 1)
+            cache = eng.new_cache(B)
+            logits, _ = _fwd(params, cfg, t, positions, cache, impl=args.impl,
+                             logits_last_only=True)
+            return jnp.sum(logits[:, -1, :100]), ()
+
+        c, _ = jax.lax.scan(body, jnp.float32(0), None, length=n)
+        return c
+
+    PP_N = 2
+
+    def pp_marginal(toks) -> float:
+        """Seconds per prefill, dispatch overhead cancelled."""
+        t0 = time.time()
+        float(_pp_chain(eng.params, toks, PP_N))
+        t1 = time.time() - t0
+        t0 = time.time()
+        float(_pp_chain(eng.params, toks, 2 * PP_N))
+        t2 = time.time() - t0
+        return max(t2 - t1, 1e-9) / PP_N
+
     # --- compile warmup, EXCLUDED from stats (reference README.md:190-196
     # reports mean±σ over timed reps only; rep 0 with compile would be junk).
     # Compiles: prefill bucket, both decode-loop lengths.
@@ -112,6 +172,12 @@ def main():
     logits, cache, lens = eng.prefill([warm_prompt] * B, cache)
     _sync(logits)
     log(f"warmup prefill (incl. compile): {time.time() - t0:.1f}s")
+    t0 = time.time()
+    warm_toks = jnp.asarray(
+        rng.integers(10, cfg.vocab_size, (B, args.pp)), jnp.int32)
+    float(_pp_chain(eng.params, warm_toks, PP_N))
+    float(_pp_chain(eng.params, warm_toks, 2 * PP_N))
+    log(f"warmup pp chains (incl. compile): {time.time() - t0:.1f}s")
     tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     pos = jnp.asarray(lens)
     t0 = time.time()
@@ -128,14 +194,17 @@ def main():
         prompt = rng.integers(10, cfg.vocab_size, args.pp).tolist()
         rows = [prompt] * B
 
-        # --- pp: one batched prefill (llama-bench test_prompt equivalent) ---
+        # --- pp: marginal rate over chained prefills (llama-bench
+        # test_prompt equivalent; dispatch RTT cancelled like tg below) ---
+        pp_dt = pp_marginal(jnp.asarray(np.array(rows, np.int32)))
+        pp_tps = args.pp * B / pp_dt
+        # the tg prefix still needs a real prefill into the decode cache
         cache = eng.new_cache(B)
         jax.block_until_ready(cache)
         t0 = time.time()
         logits, cache, lens = eng.prefill(rows, cache)
         _sync(logits)
-        pp_dt = time.time() - t0
-        pp_tps = args.pp * B / pp_dt
+        pp_wall = args.pp * B / (time.time() - t0)
 
         # --- tg: fused on-device decode loop (test_gen equivalent; one
         # dispatch for all tg tokens, lax.scan inside jit). The per-token rate
@@ -156,7 +225,8 @@ def main():
         t2 = time.time() - t0
         tg_wall = args.tg * B / t2
         tg_tps = (args.tg - half) * B / max(t2 - t1, 1e-9)
-        log(f"rep {rep}: pp{args.pp} {pp_tps:8.1f} t/s   tg{args.tg} "
+        log(f"rep {rep}: pp{args.pp} {pp_tps:8.1f} t/s marginal "
+            f"({pp_wall:.0f} wall)   tg{args.tg} "
             f"{tg_tps:8.1f} t/s marginal ({tg_wall:.1f} wall incl. dispatch)")
         results.setdefault("pp", []).append(pp_tps)
         results.setdefault("tg", []).append(tg_tps)

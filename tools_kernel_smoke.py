@@ -209,7 +209,9 @@ def smoke_model(preset: str, results: list, only: str = ""):
     # flash decode attention, bf16 + int8 scales, bench-regime S
     from tpu_kquant.ops.pallas_attention import attention_decode_pallas
 
-    for S, quant in ((704, False), (704, True), (4096, False)):
+    # int8-KV needs S % 256 == 0 (ops.attention dispatch gate; this smoke
+    # case at S=704 caught the violation before the gate existed)
+    for S, quant in ((704, False), (768, True), (4096, False), (4096, True)):
         if not sel("decode attn"):
             break
         B = 1
@@ -244,6 +246,35 @@ def smoke_model(preset: str, results: list, only: str = ""):
 
         compile_case(f"prefill attn T={T} S={S} win={win} {preset}", f_pf,
                      (q, kc, vc, qs), results)
+
+    # rotated layer boundary: oproj+FFN+next-layer attn_in in one launch
+    from tpu_kquant.ops.pallas_attn_in import rope_tables_full
+    from tpu_kquant.ops.pallas_ffn import fused_oproj_ffn_attn_in
+
+    for R in (1, 4):
+        if not sel("rot"):
+            break
+        x = jnp.zeros((R, 1, D), jnp.bfloat16)
+        attn = jnp.zeros((R, 1, H * hd), jnp.bfloat16)
+        cos = jnp.ones((R, 1, hd // 2), jnp.float32)
+        sin = jnp.zeros((R, 1, hd // 2), jnp.float32)
+        cf, sf = rope_tables_full(cos, sin, H + Hkv, hd, n_pad=0)
+        ws2 = [wqk, wv]
+        ko, ao = _flat(wo)
+        kg, ag = _flat(gu)
+        kd, ad = _flat(dn)
+        k1, a1 = _flat(wqk)
+        k2, a2 = _flat(wv)
+
+        def f_rot(x, attn, cf, sf, ao, ag, ad, a1, a2):
+            return fused_oproj_ffn_attn_in(
+                x, attn, _rebuild(wo, ko, ao), norm_w, 1e-5,
+                _rebuild(gu, kg, ag), _rebuild(dn, kd, ad), norm_w,
+                [_rebuild(wqk, k1, a1), _rebuild(wv, k2, a2)],
+                cf, sf, hd // 2)
+
+        compile_case(f"rot_layer R={R} {preset}", f_rot,
+                     (x, attn, cf, sf, ao, ag, ad, a1, a2), results)
 
     # whole-layer kernel (off by default — smoke so the opt-in path compiles)
     from tpu_kquant.ops.pallas_layer import fused_layer, layer_supported

@@ -43,8 +43,13 @@ def llama_layer(
     window: "int | jnp.ndarray" = 0,  # sliding window (0/huge = full); may be traced
     kv_write=None,  # (k, v) -> (k_all, v_all, scales): direct-cache append
     #                 (unrolled forward); when None, lkv slice flow (lax.scan)
+    qkv_in=None,  # precomputed projection outputs (roped qk/qkv [, v]) from a
+    #               previous rotated-layer kernel (ops.pallas_ffn phase C)
+    next_fuse=None,  # dict(norm_w2, ws2, cf, sf): emit the NEXT layer's QKV
+    #                  from this layer's oproj+FFN launch (rotated boundary)
 ):
-    """One transformer block. Returns (x, updated LayerKV or None)."""
+    """One transformer block. Returns (x, updated LayerKV or None,
+    next-layer projection outputs or None)."""
     # local import: runtime.__init__ imports the engine, which imports us
     from tpu_kquant.runtime.kv_cache import append_layer, layer_scales
 
@@ -54,7 +59,7 @@ def llama_layer(
     # fused attention-input megakernel: norm + Q/K/V matmuls + rope in one
     # launch (decode shapes on TPU; requires the loader's NEOX-canonical rope)
     fused_in = None
-    if cfg.rope.mode == "neox" and cfg.rope.n_rot == D and (
+    if qkv_in is None and cfg.rope.mode == "neox" and cfg.rope.n_rot == D and (
             "wqk" in layer or "wqkv" in layer):
         from tpu_kquant.ops.pallas_attn_in import (
             attn_in_enabled, fused_attn_in, rope_tables_full)
@@ -63,7 +68,20 @@ def llama_layer(
         if attn_in_enabled(impl, ws, B * T, x.shape[-1]):
             fused_in = (ws, fused_attn_in, rope_tables_full)
 
-    if fused_in is not None:
+    if qkv_in is not None:
+        # projections already computed (and roped) by the previous layer's
+        # rotated-boundary kernel — same output convention as fused_attn_in
+        if "wqkv" in layer:
+            qkv = qkv_in[0]
+            q = qkv[..., : H * D].reshape(B, T, H, D)
+            k = qkv[..., H * D : (H + Hkv) * D].reshape(B, T, Hkv, D)
+            v = qkv[..., (H + Hkv) * D :].reshape(B, T, Hkv, D)
+        else:
+            qk, vout = qkv_in
+            q = qk[..., : H * D].reshape(B, T, H, D)
+            k = qk[..., H * D :].reshape(B, T, Hkv, D)
+            v = vout.reshape(B, T, Hkv, D)
+    elif fused_in is not None:
         ws, _fused, _tables = fused_in
         n_pad = Hkv * D if "wqkv" in layer else 0
         cf, sf = _tables(cos, sin, H + Hkv, D, n_pad=n_pad)
@@ -143,17 +161,36 @@ def llama_layer(
         # launch from the attention output to the layer output
         if not cfg.is_moe and not cfg.post_norms and "w_gateup" in layer:
             from tpu_kquant.ops.pallas_ffn import (
-                fused_oproj_ffn, oproj_ffn_enabled)
+                fused_oproj_ffn,
+                fused_oproj_ffn_attn_in,
+                oproj_ffn_enabled,
+                rot_enabled,
+            )
 
+            act = "gelu" if cfg.act_fn == "gelu" else "silu"
+            # rotated layer boundary: same launch also emits the NEXT
+            # layer's (roped) QKV — kills the separate attn_in launch
+            if next_fuse is not None and rot_enabled(
+                    impl, layer["wo"], layer["w_gateup"], layer["w_down"],
+                    next_fuse["ws2"], B * T, x.shape[-1]):
+                outs = fused_oproj_ffn_attn_in(
+                    x, attn.reshape(B, T, H * D), layer["wo"],
+                    _norm_w(layer["ffn_norm"]), cfg.norm_eps,
+                    layer["w_gateup"], layer["w_down"],
+                    next_fuse["norm_w2"], next_fuse["ws2"],
+                    next_fuse["cf"], next_fuse["sf"], D // 2,
+                    act_fn=act,
+                )
+                return outs[0], lkv, outs[1:]
             if oproj_ffn_enabled(impl, layer["wo"], layer["w_gateup"],
                                  layer["w_down"], B * T):
                 x = fused_oproj_ffn(
                     x, attn.reshape(B, T, H * D), layer["wo"],
                     _norm_w(layer["ffn_norm"]), cfg.norm_eps,
                     layer["w_gateup"], layer["w_down"],
-                    act_fn="gelu" if cfg.act_fn == "gelu" else "silu",
+                    act_fn=act,
                 )
-                return x, lkv
+                return x, lkv, None
         h = qmatmul(attn.reshape(B, T, H * D), layer["wo"], impl)
         if cfg.post_norms:  # gemma2 post-attention norm
             h = rms_norm(h, _norm_w(layer["post_attn_norm"]), cfg.norm_eps)
@@ -168,7 +205,7 @@ def llama_layer(
                 layer["w_gateup"], layer["w_down"],
                 act_fn="gelu" if cfg.act_fn == "gelu" else "silu",
             )
-            return x, lkv
+            return x, lkv, None
 
     h = rms_norm(x, _norm_w(layer["ffn_norm"]), cfg.norm_eps)
     act = geglu if cfg.act_fn == "gelu" else swiglu
@@ -186,7 +223,7 @@ def llama_layer(
         h = qmatmul(act(gate, up), layer["w_down"], impl)
     if cfg.post_norms:  # gemma2 post-ffn norm
         h = rms_norm(h, _norm_w(layer["post_ffn_norm"]), cfg.norm_eps)
-    return x + h, lkv
+    return x + h, lkv, None
 
 
 def stack_layer_params(params: dict[str, Any]) -> dict[str, Any]:
@@ -238,8 +275,8 @@ def llama_forward(
 
         def body(x, xs):
             layer, lkv, win = xs
-            x, lkv = llama_layer(layer, cfg, x, positions, cos, sin, lkv, impl,
-                                 mesh, window=0 if win is None else win)
+            x, lkv, _ = llama_layer(layer, cfg, x, positions, cos, sin, lkv,
+                                    impl, mesh, window=0 if win is None else win)
             return x, lkv
 
         from tpu_kquant.runtime.kv_cache import KVCache as _KVCache
@@ -266,7 +303,18 @@ def llama_forward(
             and cfg.attn_logit_softcap == 0.0 and kv_valid is None
             and not cache.quantized
         )
-        for i, layer in enumerate(params["layers"]):
+        # rotated layer boundaries: layer i's oproj+FFN launch can emit
+        # layer i+1's QKV (ops.pallas_ffn.fused_oproj_ffn_attn_in) when the
+        # arch qualifies; the actual dispatch decision (incl. kind/env gates)
+        # is per-pair inside llama_layer via rot_enabled
+        layers_list = params["layers"]
+        rot_arch_ok = (
+            cfg.rope.mode == "neox" and cfg.rope.n_rot == cfg.head_dim
+            and not cfg.attn_bias and not cfg.post_norms and not cfg.is_moe
+        )
+        rope_cf_sf = None
+        pending_qkv = None
+        for i, layer in enumerate(layers_list):
             if wl_possible and not cfg.layer_window(i) and \
                     "wqk" in layer and "w_gateup" in layer:
                 from tpu_kquant.ops.pallas_layer import (
@@ -287,6 +335,10 @@ def llama_forward(
                         act_fn="gelu" if cfg.act_fn == "gelu" else "silu",
                     )
                     holder["cache"] = c.append(i, k_new, v_new, positions)
+                    # a rotated-boundary kernel may have pre-computed this
+                    # layer's QKV; the whole-layer kernel recomputes it, so
+                    # drop the stale value (never hand it to layer i+1)
+                    pending_qkv = None
                     continue
             def kv_write(k_new, v_new, _i=i):
                 if is_iswa:
@@ -300,9 +352,30 @@ def llama_forward(
                     return (*view, positions[:, -1])  # ring: last abs position
                 return view
 
-            x, _ = llama_layer(layer, cfg, x, positions, cos, sin, None,
-                               impl, mesh, window=cfg.layer_window(i),
-                               kv_write=kv_write)
+            next_fuse = None
+            if rot_arch_ok and i + 1 < len(layers_list):
+                nl = layers_list[i + 1]
+                if "wqk" in nl or "wqkv" in nl:
+                    from tpu_kquant.ops.pallas_attn_in import rope_tables_full
+
+                    ws2 = ([nl["wqkv"]] if "wqkv" in nl
+                           else [nl["wqk"], nl["wv"]])
+                    if rope_cf_sf is None:
+                        n_pad = (cfg.n_kv_heads * cfg.head_dim
+                                 if "wqkv" in nl else 0)
+                        rope_cf_sf = rope_tables_full(
+                            cos, sin, cfg.n_heads + cfg.n_kv_heads,
+                            cfg.head_dim, n_pad=n_pad)
+                    next_fuse = {
+                        "norm_w2": _norm_w(nl["attn_norm"]),
+                        "ws2": ws2,
+                        "cf": rope_cf_sf[0],
+                        "sf": rope_cf_sf[1],
+                    }
+            x, _, pending_qkv = llama_layer(
+                layer, cfg, x, positions, cos, sin, None,
+                impl, mesh, window=cfg.layer_window(i),
+                kv_write=kv_write, qkv_in=pending_qkv, next_fuse=next_fuse)
         cache = holder["cache"]
 
     x = rms_norm(x, _norm_w(params["output_norm"]), cfg.norm_eps)

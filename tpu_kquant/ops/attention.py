@@ -20,6 +20,13 @@ def _on_tpu() -> bool:
         return False
 
 
+# materialized-logits budget below which the fused XLA prefill attention
+# beats the blockwise Pallas kernel (see dispatch comment below)
+import os
+
+_PREFILL_XLA_MAX_MB = float(os.environ.get("TKQ_PREFILL_XLA_MAX_MB", "192"))
+
+
 def attention_decode(
     q: jnp.ndarray,  # [B, T, H, D]
     k_cache: jnp.ndarray,  # [B, Hkv, S, D]   (bf16 or int8, heads-major)
@@ -65,6 +72,9 @@ def attention_decode(
         # non-trivial (large batch and/or long context); below that the
         # XLA-fused path wins at decode
         and (impl == "pallas" or B * k_cache.shape[2] >= 4096)
+        # int8-KV scale tiles need 128-divisible lane blocks (Mosaic rule):
+        # the kernel requires S % 256 == 0 when quantized
+        and (kv_scales is None or k_cache.shape[2] % 256 == 0)
     ):
         from tpu_kquant.ops.pallas_attention import attention_decode_pallas
 
@@ -74,7 +84,13 @@ def attention_decode(
         )
     # flash prefill kernel: T > 1, contiguous per-row positions (an engine
     # prefill invariant: positions[b, t] = positions[b, 0] + t), static
-    # window (0 or SWA), no softcap, no ring
+    # window (0 or SWA), no softcap, no ring.
+    # Dispatched only when the XLA path's materialized [B, T, H, S] logits
+    # would be large: measured on v5e at pp512/S=704 the fused XLA attention
+    # is 3.4x FASTER than the blockwise kernel (50.9 vs 174.1 us/layer — the
+    # kernel's S-tile grid + online-softmax scratch cost more than just
+    # materializing 46 MB of logits). The kernel's reason to exist is the
+    # long-context regime where those logits stop fitting (GB-scale).
     if (
         impl in ("auto", "pallas")
         and ring_last is None
@@ -88,7 +104,9 @@ def attention_decode(
             prefill_supported,
         )
 
-        if prefill_supported(T, k_cache.shape[2], D):
+        logits_mb = (B * T * H * k_cache.shape[2] * 4) / 1e6
+        if prefill_supported(T, k_cache.shape[2], D) and (
+                impl == "pallas" or logits_mb > _PREFILL_XLA_MAX_MB):
             return attention_prefill_pallas(
                 q, k_cache, v_cache, q_positions[:, 0], kv_scales, scale,
                 sliding_window=sliding_window,

@@ -115,6 +115,14 @@ def _attn_call(q, k, v, q_pos, k_scale, v_scale, scale, ts, interpret):
     in_specs = [q_spec, kv_spec, kv_spec]
     inputs = [q, kt, vt]
     if quantized:
+        # scale tiles are (1, 1, 1, TS) on the LANE axis: Mosaic requires the
+        # trailing block dim be 128-divisible, so the int8 path needs
+        # S % 256 == 0 (the dispatch gate in ops.attention enforces it; the
+        # XLA path covers other shapes). Caught by tools_kernel_smoke at
+        # S=704, where the TS-shrink loop would land on an illegal TS=64.
+        assert interpret or TS % 128 == 0, (
+            f"int8-KV flash decode needs TS % 128 == 0 on hardware "
+            f"(S % (2*ts) == 0), got S={S}, TS={TS}")
         kst = k_scale[:, :, None, :]  # [B, Hkv, 1, S]
         vst = v_scale[:, :, None, :]
         kspec = pl.BlockSpec((1, 1, 1, TS), lambda b, h, s, qp: (b, h, 0, live(b, s, qp)), memory_space=pltpu.VMEM)

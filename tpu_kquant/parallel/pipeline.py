@@ -136,7 +136,7 @@ def make_pp_forward(mesh: Mesh, n_micro: int = 1):
 
                 def scan_body(xc, xs):
                     layer, lkv = xs
-                    xc, lkv = llama_layer(
+                    xc, lkv, _ = llama_layer(
                         layer, cfg, xc, pos_mb, cos_mb, sin_mb, lkv, impl
                     )
                     return xc, lkv
