@@ -96,63 +96,16 @@ MODELS = {
 # ---------------------------------------------------------------------------
 
 
-def time_chained(fn, x0, n_iter: int, reps: int = 3, aux=()) -> float:
-    """MARGINAL seconds per fn application: time scans of n and 2n chained
-    calls and difference them — the tunneled device's fixed ~22 ms dispatch
-    RTT (plus scalar-fetch latency) cancels exactly, same methodology as the
-    headline bench's marginal decode rate.
-
-    aux: pytree of device arrays fn needs (weights). Passed as jit ARGUMENTS,
-    not closure constants — closed-over arrays are serialized into the remote
-    compile request, which rejects >~500 MB bodies (HTTP 413 on the lm head).
-    fn is called as fn(x, aux) when aux is non-empty, else fn(x)."""
-
-    call = (lambda x: fn(x)) if aux == () else (lambda x: fn(x, aux_ref[0]))
-    aux_ref = [aux]
-
-    def make_loop(length):
-        @jax.jit
-        def loop(x, aux_in):
-            def body(x, _):
-                aux_ref[0] = aux_in
-                return call(x), ()
-
-            x, _ = jax.lax.scan(body, x, None, length=length)
-            return jnp.sum(x.astype(jnp.float32))
-
-        return loop
-
-    loop1, loop2 = make_loop(n_iter), make_loop(2 * n_iter)
-    float(loop1(x0, aux))  # compile + warm
-    float(loop2(x0, aux))
-    t1s, t2s = [], []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        float(loop1(x0, aux))
-        t1s.append(time.perf_counter() - t0)
-        t0 = time.perf_counter()
-        float(loop2(x0, aux))
-        t2s.append(time.perf_counter() - t0)
-    return max(min(t2s) - min(t1s), 1e-9) / n_iter
+# harness lives in the package (utils.attribution) — this file is the CLI
+from tpu_kquant.utils.attribution import (  # noqa: F401
+    chain_length_for as n_for,
+    kernel_report,
+    time_chained,
+)
 
 
 def report_line(name: str, t: float, nbytes: int, flops: float = 0.0):
-    gbs = nbytes / t / 1e9
-    frac = gbs / HBM_GBS
-    mxu = flops / t / 1e12 / MXU_TFLOPS if flops else 0.0
-    log(f"{name:28s} {t*1e6:9.1f} us  {nbytes/1e6:8.1f} MB  "
-        f"{gbs:7.1f} GB/s  {frac*100:5.1f}% HBM  {mxu*100:5.1f}% MXU")
-    return {"kernel": name, "us": round(t * 1e6, 1), "mb": round(nbytes / 1e6, 1),
-            "gbs": round(gbs, 1), "hbm_frac": round(frac, 3),
-            "mxu_frac": round(mxu, 3)}
-
-
-def n_for(nbytes: int, target_s: float = 0.03) -> int:
-    """Chain length so the marginal diff is ~target_s of pure kernel time at
-    the HBM roofline (longer in practice) — far above the tunnel's rep-to-rep
-    jitter (~1-2 ms)."""
-    t_ideal = nbytes / (HBM_GBS * 1e9)
-    return int(min(2048, max(32, target_s / t_ideal)))
+    return kernel_report(name, t, nbytes, flops, log=log)
 
 
 def bench_decode(model: str, R: int, n_iter: int, results: list,
