@@ -12,8 +12,8 @@ Design: a fixed pool of B batch slots over one shared KV cache. Each tick:
      pending prefill logits instead of the decode output (their decode this
      tick is a dummy whose K/V write is overwritten by the real decode at
      the same position next tick — the same argument that makes padded
-     prefill safe, see runtime.engine; inactive slots idle at pos 0
-     likewise). Sampling uses PER-ROW params (temp/top-k/top-p/min-p,
+     prefill safe, see runtime.engine; inactive slots idle likewise).
+     Sampling uses PER-ROW params (temp/top-k/top-p/min-p,
      repeat/presence/frequency penalties over per-row sliding windows) and
      PER-REQUEST RNG keys (request.seed; outputs don't depend on batch
      composition),
@@ -21,6 +21,16 @@ Design: a fixed pool of B batch slots over one shared KV cache. Each tick:
 
 Static shapes throughout: the tick executable never recompiles as requests
 come and go.
+
+ALL per-slot state (next tokens, positions, sampler params, RNG keys,
+penalty rings, pending logits, active/fresh masks) is DEVICE-RESIDENT and
+donated through the tick: a steady-state tick transfers ZERO bytes host to
+device and fetches 4B bytes back. Measured motivation (r3, tunneled v5e):
+the previous host-side design re-sent ~12 small arrays per tick, costing
+~220 ms/tick against a ~35 ms ideal (RTT + compute) — B=16 serving
+throughput was 70 t/s wall where the decode kernel alone sustains hundreds.
+Host-side admission/retirement bookkeeping touches the device only through
+small jitted row-setters when a request actually enters or leaves.
 """
 
 from __future__ import annotations
@@ -28,7 +38,8 @@ from __future__ import annotations
 import dataclasses
 import itertools
 from collections import deque
-from typing import Callable
+from functools import partial
+from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -65,9 +76,31 @@ class Request:
 @dataclasses.dataclass
 class _Slot:
     req: Request | None = None
-    pos: int = 0  # next decode position
-    next_token: int = 0
-    steps: int = 0  # sampler-step counter (drives per-request key fold_in)
+    pos: int = 0  # next decode position (host shadow for retirement checks)
+
+
+class _DevState(NamedTuple):
+    """Device-resident per-slot serving state (donated through the tick)."""
+
+    toks: jnp.ndarray       # [B] i32 next token per slot
+    poss: jnp.ndarray       # [B] i32 next decode position
+    fresh: jnp.ndarray      # [B] bool: sample from pending logits this tick
+    active: jnp.ndarray     # [B] bool
+    steps: jnp.ndarray      # [B] u32 sampler-step counter (key fold_in)
+    base_keys: jnp.ndarray  # [B, 2] u32
+    temps: jnp.ndarray      # [B] f32
+    top_ks: jnp.ndarray     # [B] i32
+    top_ps: jnp.ndarray     # [B] f32
+    min_ps: jnp.ndarray     # [B] f32
+    rps: jnp.ndarray        # [B] f32
+    pps: jnp.ndarray        # [B] f32
+    fps: jnp.ndarray        # [B] f32
+    last_ns: jnp.ndarray    # [B] i32
+    pending: jnp.ndarray    # [B, V] f32 pending prefill logits
+    counts: jnp.ndarray     # [B, V] i32 penalty counts
+    window: jnp.ndarray     # [B, W] i32 penalty token ring
+    widx: jnp.ndarray       # [B] i32
+    nfill: jnp.ndarray      # [B] i32
 
 
 class ContinuousBatcher:
@@ -84,55 +117,101 @@ class ContinuousBatcher:
         self._seed = seed
         V = engine.cfg.vocab_size
         W = self.PENALTY_WINDOW_CAP
-        # host-side per-slot sampler params (tiny [B] arrays, re-sent per tick)
-        self._temps = np.zeros(B, np.float32)
-        self._top_ks = np.zeros(B, np.int32)
-        self._top_ps = np.ones(B, np.float32)
-        self._min_ps = np.zeros(B, np.float32)
-        self._rps = np.ones(B, np.float32)
-        self._pps = np.zeros(B, np.float32)
-        self._fps = np.zeros(B, np.float32)
-        self._last_ns = np.zeros(B, np.int32)
-        self._base_keys = np.zeros((B, 2), np.uint32)
-        # device-side penalty state (counts/window/widx/nfill), reset per-row
-        # at admission
-        self._pstate = (
-            jnp.zeros((B, V), jnp.int32),
-            jnp.zeros((B, W), jnp.int32),
-            jnp.zeros(B, jnp.int32),
-            jnp.zeros(B, jnp.int32),
+        self.state = _DevState(
+            toks=jnp.zeros(B, jnp.int32),
+            poss=jnp.zeros(B, jnp.int32),
+            fresh=jnp.zeros(B, bool),
+            active=jnp.zeros(B, bool),
+            steps=jnp.zeros(B, jnp.uint32),
+            base_keys=jnp.zeros((B, 2), jnp.uint32),
+            temps=jnp.zeros(B, jnp.float32),
+            top_ks=jnp.zeros(B, jnp.int32),
+            top_ps=jnp.ones(B, jnp.float32),
+            min_ps=jnp.zeros(B, jnp.float32),
+            rps=jnp.ones(B, jnp.float32),
+            pps=jnp.zeros(B, jnp.float32),
+            fps=jnp.zeros(B, jnp.float32),
+            last_ns=jnp.zeros(B, jnp.int32),
+            pending=jnp.zeros((B, V), jnp.float32),
+            counts=jnp.zeros((B, V), jnp.int32),
+            window=jnp.zeros((B, W), jnp.int32),
+            widx=jnp.zeros(B, jnp.int32),
+            nfill=jnp.zeros(B, jnp.int32),
         )
 
-        self._pending_logits = jnp.zeros((B, V), jnp.float32)
-
-        from functools import partial as _partial
-
-        @_partial(jax.jit, donate_argnums=(3,))
-        def _tick_fn(params, toks, poss, cache, pending, fresh, base_keys,
-                     steps, temps, top_ks, top_ps, min_ps, rps, pps, fps,
-                     last_ns, pstate):
+        @partial(jax.jit, donate_argnums=(1, 2))
+        def _tick_fn(params, cache, st: _DevState):
             """Fused serving tick: decode + logits merge + sampler chain in
-            ONE dispatch (host loop pays a single round-trip per tick)."""
+            ONE dispatch; no host operands, one [B] fetch back."""
             logits, cache = engine._step(
-                params, toks[:, None], poss[:, None], cache, True
+                params, st.toks[:, None], st.poss[:, None], cache, True
             )
-            l = jnp.where(fresh[:, None], pending,
+            l = jnp.where(st.fresh[:, None], st.pending,
                           logits[:, 0, :].astype(jnp.float32))
-            l = apply_penalties_rows(l, pstate[0], rps, pps, fps)
-            keys = jax.vmap(jax.random.fold_in)(base_keys, steps)
-            tok = sample_rows(l, keys, temps, top_ks, top_ps, min_ps)
-            pstate = update_penalty_state_rows(pstate, tok, last_ns)
-            return tok, cache, pstate
+            l = apply_penalties_rows(l, st.counts, st.rps, st.pps, st.fps)
+            keys = jax.vmap(jax.random.fold_in)(st.base_keys, st.steps)
+            tok = sample_rows(l, keys, st.temps, st.top_ks, st.top_ps,
+                              st.min_ps)
+            pstate = update_penalty_state_rows(
+                (st.counts, st.window, st.widx, st.nfill), tok, st.last_ns)
+            st = st._replace(
+                toks=jnp.where(st.active, tok, st.toks),
+                poss=jnp.where(st.active & ~st.fresh, st.poss + 1, st.poss),
+                fresh=jnp.zeros_like(st.fresh),
+                steps=st.steps + 1,
+                counts=pstate[0], window=pstate[1], widx=pstate[2],
+                nfill=pstate[3],
+            )
+            return tok, cache, st
 
         self._tick_fn = _tick_fn
 
-        @jax.jit
-        def _reset_pstate_row(pstate, b, counts, window, widx, nfill):
-            c, w, i, n = pstate
-            return (c.at[b].set(counts), w.at[b].set(window),
-                    i.at[b].set(widx), n.at[b].set(nfill))
+        @partial(jax.jit, donate_argnums=(0,))
+        def _admit_row(st: _DevState, b, row_logits, pos, base_key, temp,
+                       top_k, top_p, min_p, rp, pp, fp, last_n, counts,
+                       window, widx, nfill):
+            """Admission: set every per-slot field of row b in ONE dispatch."""
+            return st._replace(
+                toks=st.toks.at[b].set(0),
+                poss=st.poss.at[b].set(pos),
+                fresh=st.fresh.at[b].set(True),
+                active=st.active.at[b].set(True),
+                steps=st.steps.at[b].set(0),
+                base_keys=st.base_keys.at[b].set(base_key),
+                temps=st.temps.at[b].set(temp),
+                top_ks=st.top_ks.at[b].set(top_k),
+                top_ps=st.top_ps.at[b].set(top_p),
+                min_ps=st.min_ps.at[b].set(min_p),
+                rps=st.rps.at[b].set(rp),
+                pps=st.pps.at[b].set(pp),
+                fps=st.fps.at[b].set(fp),
+                last_ns=st.last_ns.at[b].set(last_n),
+                pending=st.pending.at[b].set(row_logits),
+                counts=st.counts.at[b].set(counts),
+                window=st.window.at[b].set(window),
+                widx=st.widx.at[b].set(widx),
+                nfill=st.nfill.at[b].set(nfill),
+            )
 
-        self._reset_pstate_row = _reset_pstate_row
+        self._admit_row = _admit_row
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def _retire_row(st: _DevState, b):
+            return st._replace(
+                active=st.active.at[b].set(False),
+                temps=st.temps.at[b].set(0.0),
+                rps=st.rps.at[b].set(1.0),
+                pps=st.pps.at[b].set(0.0),
+                fps=st.fps.at[b].set(0.0),
+                last_ns=st.last_ns.at[b].set(0),
+                # park the slot at position 0: its dummy decodes keep
+                # rewriting slot 0, which the next admission's prefill
+                # overwrites anyway
+                poss=st.poss.at[b].set(0),
+                toks=st.toks.at[b].set(0),
+            )
+
+        self._retire_row = _retire_row
 
         # observability (reference analog: llama-bench t/s tables + timers)
         self.stats = {
@@ -184,36 +263,19 @@ class ContinuousBatcher:
                 row_logits, self.cache = self.engine.prefill_slot(
                     req.prompt, self.cache, b
                 )
-                self._pending_logits = self._pending_logits.at[b].set(
-                    row_logits.astype(jnp.float32)
-                )
                 self.stats["prefills"] += 1
                 self.stats["tokens_in"] += len(req.prompt)
                 slot.req = req
                 slot.pos = len(req.prompt)
-                slot.steps = 0
-                self._set_slot_params(b, req)
+                self._admit(b, req, row_logits)
                 fresh[b] = True
         if self.active == 0:
             return
 
         # 2. ONE fused decode+sample dispatch; fresh rows' dummy decode at
         # slot.pos is overwritten by the real decode there next tick
-        toks = np.zeros(self.B, np.int32)
-        poss = np.zeros(self.B, np.int32)
-        for b, slot in enumerate(self.slots):
-            if slot.req is not None:
-                toks[b] = slot.next_token
-                poss[b] = slot.pos
-        steps = np.array([s.steps for s in self.slots], np.uint32)
-        tok_dev, self.cache, self._pstate = self._tick_fn(
-            self.engine.params, jnp.asarray(toks), jnp.asarray(poss),
-            self.cache, self._pending_logits, jnp.asarray(fresh),
-            jnp.asarray(self._base_keys), jnp.asarray(steps),
-            jnp.asarray(self._temps), jnp.asarray(self._top_ks),
-            jnp.asarray(self._top_ps), jnp.asarray(self._min_ps),
-            jnp.asarray(self._rps), jnp.asarray(self._pps),
-            jnp.asarray(self._fps), jnp.asarray(self._last_ns), self._pstate,
+        tok_dev, self.cache, self.state = self._tick_fn(
+            self.engine.params, self.cache, self.state
         )
         sampled = np.asarray(tok_dev)  # the tick's only host sync
 
@@ -224,13 +286,11 @@ class ContinuousBatcher:
                 continue
             if not fresh[b]:
                 slot.pos += 1  # fresh rows' first real decode is next tick
-            slot.steps += 1
             tok = int(sampled[b])
-            slot.next_token = tok
             self._emit(req, tok, on_token)
             if req.done or slot.pos + 1 >= self.engine.max_seq:
                 req.done = True
-                self._retire(b)
+                self._do_retire(b)
         self.stats["steps"] += 1
         self.stats["batch_occupancy_sum"] += sum(
             s.req is not None for s in self.slots
@@ -238,23 +298,14 @@ class ContinuousBatcher:
         self.stats["wall_s"] += _time.time() - t_start
 
     # -- helpers ---------------------------------------------------------------
-    def _set_slot_params(self, b: int, req: Request) -> None:
-        self._temps[b] = req.temperature
-        self._top_ks[b] = req.top_k
-        self._top_ps[b] = req.top_p
-        self._min_ps[b] = req.min_p
-        self._rps[b] = req.repeat_penalty
-        self._pps[b] = req.presence_penalty
-        self._fps[b] = req.frequency_penalty
+    def _admit(self, b: int, req: Request, row_logits) -> None:
         uses_pen = (
             req.repeat_penalty != 1.0
             or req.presence_penalty != 0.0
             or req.frequency_penalty != 0.0
         ) and req.penalty_last_n > 0
         last_n = req.penalty_last_n if uses_pen else 0
-        self._last_ns[b] = last_n
         seed = req.seed if req.seed is not None else self._seed + 7919 * req.rid
-        self._base_keys[b] = np.asarray(jax.random.PRNGKey(seed))
         # penalty window primed from the prompt tail (llama.cpp semantics)
         W = self.PENALTY_WINDOW_CAP
         counts = np.zeros(self.engine.cfg.vocab_size, np.int32)
@@ -267,9 +318,16 @@ class ContinuousBatcher:
             window[: len(tail)] = tail
             widx = len(tail) % last_n
             nfill = len(tail)
-        self._pstate = self._reset_pstate_row(
-            self._pstate, jnp.int32(b), jnp.asarray(counts),
-            jnp.asarray(window), jnp.int32(widx), jnp.int32(nfill),
+        self.state = self._admit_row(
+            self.state, jnp.int32(b), row_logits.astype(jnp.float32),
+            jnp.int32(len(req.prompt)),
+            jnp.asarray(np.asarray(jax.random.PRNGKey(seed))),
+            jnp.float32(req.temperature), jnp.int32(req.top_k),
+            jnp.float32(req.top_p), jnp.float32(req.min_p),
+            jnp.float32(req.repeat_penalty), jnp.float32(req.presence_penalty),
+            jnp.float32(req.frequency_penalty), jnp.int32(last_n),
+            jnp.asarray(counts), jnp.asarray(window), jnp.int32(widx),
+            jnp.int32(nfill),
         )
 
     def _emit(self, req: Request, tok: int, on_token):
@@ -280,8 +338,9 @@ class ContinuousBatcher:
         if (req.eos_id is not None and tok == req.eos_id) or len(req.output) >= req.max_new_tokens:
             req.done = True
 
-    def _retire(self, b: int):
+    def _do_retire(self, b: int):
         req = self.slots[b].req
         self.slots[b] = _Slot()
+        self.state = self._retire_row(self.state, jnp.int32(b))
         if req is not None:
             self.finished.append(req)
