@@ -40,10 +40,19 @@ class ModelConfig:
     embed_scale: float = 1.0  # gemma scales embeddings by sqrt(dim)
     attn_logit_softcap: float = 0.0  # gemma2: 50.0
     final_logit_softcap: float = 0.0  # gemma2: 30.0
+    # recurrent (mamba) SSM hparams — the llama.cpp recurrent memory backend
+    ssm_d_conv: int = 0
+    ssm_d_inner: int = 0
+    ssm_d_state: int = 0
+    ssm_dt_rank: int = 0
 
     @property
     def is_moe(self) -> bool:
         return self.n_experts > 0
+
+    @property
+    def is_recurrent(self) -> bool:
+        return self.arch == "mamba"
 
     def layer_window(self, i: int) -> int:
         """Sliding-window size for layer i (0 = full attention)."""
@@ -60,6 +69,27 @@ class ModelConfig:
         def g(key: str, default=None):
             v = md.get(f"{arch}.{key}", default)
             return v
+
+        if arch == "mamba":
+            vocab = md.get(f"{arch}.vocab_size")
+            if vocab is None:
+                vocab = len(md.get("tokenizer.ggml.tokens", []))
+            return ModelConfig(
+                arch=arch,
+                n_layers=int(g("block_count")),
+                dim=int(g("embedding_length")),
+                n_heads=0, n_kv_heads=0, head_dim=0, ffn_dim=0,
+                vocab_size=int(vocab),
+                max_seq_len=int(g("context_length", 4096)),
+                norm_eps=float(g("attention.layer_norm_rms_epsilon", 1e-5)),
+                rope=RopeParams(head_dim=0, n_rot=0, freq_base=10000.0,
+                                freq_scale=1.0, ext_factor=0.0, n_ctx_orig=0,
+                                mode="neox"),
+                ssm_d_conv=int(g("ssm.conv_kernel")),
+                ssm_d_inner=int(g("ssm.inner_size")),
+                ssm_d_state=int(g("ssm.state_size")),
+                ssm_dt_rank=int(g("ssm.time_step_rank")),
+            )
 
         n_heads = int(g("attention.head_count"))
         dim = int(g("embedding_length"))
@@ -125,6 +155,19 @@ class ModelConfig:
     def to_gguf_metadata(self) -> dict[str, Any]:
         """Inverse of from_gguf, used by the fixture-model writer."""
         a = self.arch
+        if self.is_recurrent:
+            return {
+                "general.architecture": a,
+                f"{a}.block_count": self.n_layers,
+                f"{a}.context_length": self.max_seq_len,
+                f"{a}.embedding_length": self.dim,
+                f"{a}.attention.layer_norm_rms_epsilon": self.norm_eps,
+                f"{a}.ssm.conv_kernel": self.ssm_d_conv,
+                f"{a}.ssm.inner_size": self.ssm_d_inner,
+                f"{a}.ssm.state_size": self.ssm_d_state,
+                f"{a}.ssm.time_step_rank": self.ssm_dt_rank,
+                f"{a}.vocab_size": self.vocab_size,
+            }
         md: dict[str, Any] = {
             "general.architecture": a,
             f"{a}.block_count": self.n_layers,

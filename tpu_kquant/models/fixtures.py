@@ -52,6 +52,26 @@ def tiny_config(
     )
 
 
+def tiny_mamba_config(
+    n_layers: int = 2,
+    dim: int = 64,
+    vocab_size: int = 512,
+    max_seq_len: int = 256,
+    d_state: int = 16,
+    d_conv: int = 4,
+    expand: int = 2,
+) -> ModelConfig:
+    """Mamba (recurrent) test architecture — llama.cpp `mamba` GGUF layout."""
+    di = expand * dim
+    return ModelConfig(
+        arch="mamba", n_layers=n_layers, dim=dim, n_heads=0, n_kv_heads=0,
+        head_dim=0, ffn_dim=0, vocab_size=vocab_size, max_seq_len=max_seq_len,
+        rope=RopeParams(head_dim=0, n_rot=0),
+        ssm_d_conv=d_conv, ssm_d_inner=di, ssm_d_state=d_state,
+        ssm_dt_rank=max(1, -(-dim // 16)),
+    )
+
+
 def tinyllama_1b_config() -> ModelConfig:
     """TinyLlama-1.1B-Chat-v1.0 — the reference's exact benchmark model
     (BASELINE.md: 1.10 B params, 636.18 MiB at Q4_K_M)."""
@@ -146,6 +166,25 @@ def write_fixture_gguf(
     add("output_norm.weight", (D,))
     if not cfg.tie_embeddings:
         add("output.weight", (V, D))
+    if cfg.is_recurrent:
+        di, ds, dc, dtr = (cfg.ssm_d_inner, cfg.ssm_d_state, cfg.ssm_d_conv,
+                           cfg.ssm_dt_rank)
+        for i in range(cfg.n_layers):
+            p = f"blk.{i}."
+            add(p + "attn_norm.weight", (D,))
+            add(p + "ssm_in.weight", (2 * di, D))
+            add(p + "ssm_x.weight", (dtr + 2 * ds, di))
+            add(p + "ssm_dt.weight", (di, dtr))
+            add(p + "ssm_out.weight", (D, di))
+            for nm, shape in (("ssm_conv1d.weight", (di, dc)),
+                              ("ssm_conv1d.bias", (di,)),
+                              ("ssm_dt.bias", (di,)),
+                              ("ssm_a", (di, ds)),
+                              ("ssm_d", (di,))):
+                w.add_tensor(p + nm,
+                             rng.standard_normal(shape).astype(np.float32)
+                             * scale, GGMLType.F32)
+        return str(w.write())
     for i in range(cfg.n_layers):
         p = f"blk.{i}."
         add(p + "attn_norm.weight", (D,))

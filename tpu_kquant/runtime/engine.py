@@ -76,6 +76,16 @@ class InferenceEngine:
             if scan_layers or forward_fn is not None:
                 raise ValueError("kv_layout='iswa' requires the default "
                                  "unrolled forward")
+        if cfg.is_recurrent:
+            # mamba: the memory context is a recurrent state, not a KV ring
+            # (llama.cpp's recurrent llama_memory_context_i backend)
+            if kv_layout != "unified" or kv_quantized or scan_layers:
+                raise ValueError("recurrent archs use the default unified "
+                                 "layout, fp state, unrolled forward")
+            if forward_fn is None:
+                from tpu_kquant.models.mamba import mamba_forward
+
+                forward_fn = mamba_forward
         self.kv_layout = kv_layout
         self.iswa_chunk = iswa_chunk
         if scan_layers:
@@ -185,6 +195,14 @@ class InferenceEngine:
         self._shift = _shift
 
     def new_cache(self, batch: int | None = None) -> KVCache:
+        if self.cfg.is_recurrent:
+            from tpu_kquant.models.mamba import RecurrentCache
+
+            return RecurrentCache.create(
+                self.cfg.n_layers, batch or self.max_batch,
+                self.cfg.ssm_d_conv, self.cfg.ssm_d_inner,
+                self.cfg.ssm_d_state,
+            )
         if self.kv_layout == "iswa":
             from tpu_kquant.runtime.kv_cache import ISWACache
 
@@ -224,6 +242,17 @@ class InferenceEngine:
         for i, row in enumerate(token_rows):
             toks[i, : len(row)] = row
         positions = np.broadcast_to(np.arange(T, dtype=np.int32), (B, T))
+        if self.cfg.is_recurrent:
+            # pad steps must NOT touch the recurrent state (a KV pad slot is
+            # overwritten later; a recurrent state update is forever)
+            valid = positions < lens[:, None]
+            logits, cache = self._step_valid(
+                self.params, jnp.asarray(toks), jnp.asarray(positions), cache,
+                jnp.asarray(valid),
+            )
+            last = jnp.take_along_axis(
+                logits, jnp.asarray(lens - 1)[:, None, None], axis=1)
+            return last[:, 0, :], cache, lens
         logits, cache = self._step(
             self.params, jnp.asarray(toks), jnp.asarray(positions), cache, False
         )
@@ -309,7 +338,7 @@ class InferenceEngine:
         slide the tail down (K re-rotated in place). Returns (cache,
         new_positions). Every row must have at least n_keep + n_discard live
         entries, or it would lose tokens it still attends to."""
-        if self.kv_layout != "unified":
+        if self.kv_layout != "unified" or self.cfg.is_recurrent:
             raise NotImplementedError("context shift requires the unified KV layout")
         positions = np.asarray(positions)
         if int(positions.min()) < n_keep + n_discard:
@@ -330,6 +359,14 @@ class InferenceEngine:
             raise NotImplementedError("sessions require the unified KV layout")
         import numpy as np
 
+        if self.cfg.is_recurrent:
+            # recurrent session = the (conv, ssm) state arrays; O(1) in
+            # context length, unlike a KV session
+            np.savez(path, lengths=np.asarray(lengths, np.int32),
+                     conv=np.asarray(cache.conv), ssm=np.asarray(cache.ssm),
+                     recurrent=np.int32(1))
+            return
+
         def enc(x):
             a = np.asarray(x)
             if a.dtype.itemsize == 2 and a.dtype.kind == "V" or str(a.dtype) == "bfloat16":
@@ -349,6 +386,12 @@ class InferenceEngine:
         import numpy as np
 
         z = np.load(path)
+        if "recurrent" in z:
+            from tpu_kquant.models.mamba import RecurrentCache
+
+            return (RecurrentCache(conv=jnp.asarray(z["conv"]),
+                                   ssm=jnp.asarray(z["ssm"])),
+                    z["lengths"])
         dt = jnp.dtype(bytes(z["kv_dtype"]).decode())
 
         def dec(a):

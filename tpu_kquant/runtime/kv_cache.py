@@ -333,18 +333,27 @@ def shift_cache(cache: KVCache, n_keep: int, n_discard: int, rope) -> KVCache:
     return KVCache(k, v, ks, vs)
 
 
-def slice_batch_row(cache: KVCache, slot) -> KVCache:
-    """View of one batch row (slot may be traced): [L, 1, Hkv, S, D]."""
+def slice_batch_row(cache, slot):
+    """View of one batch row (slot may be traced). Generic over any cache
+    pytree whose every leaf carries batch at axis 1 (KVCache [L,B,Hkv,S,D],
+    RecurrentCache [L,B,...])."""
     import jax
 
-    def sl(x):
-        return None if x is None else jax.lax.dynamic_slice_in_dim(x, slot, 1, axis=1)
-
-    return KVCache(sl(cache.k), sl(cache.v), sl(cache.k_scale), sl(cache.v_scale))
+    return jax.tree.map(
+        lambda x: jax.lax.dynamic_slice_in_dim(x, slot, 1, axis=1), cache)
 
 
-def set_batch_row(cache: KVCache, row: KVCache, slot) -> KVCache:
-    """Write a [L, 1, ...] row cache back into batch position ``slot``."""
+def set_batch_row(cache, row, slot):
+    """Write a [L, 1, ...] row cache back into batch position ``slot``
+    (generic over cache pytrees, see slice_batch_row)."""
+    import jax
+
+    return jax.tree.map(
+        lambda x, u: jax.lax.dynamic_update_slice_in_dim(x, u, slot, axis=1),
+        cache, row)
+
+
+def _set_batch_row_old(cache: KVCache, row: KVCache, slot) -> KVCache:
     import jax
 
     def st(x, u):

@@ -187,6 +187,8 @@ def load_model(
 
     r = GGUFReader(path)
     cfg = ModelConfig.from_gguf(r.metadata)
+    if cfg.arch == "mamba":
+        return _load_mamba(r, cfg, put, scale_dtype, pack_pairs, widen_q6)
     if cfg.arch not in LLAMA_FAMILY:
         raise ValueError(f"unsupported architecture {cfg.arch!r}")
     if "blk.0.attn_q.bias" in r.tensors:  # qwen2-style attention biases
@@ -335,6 +337,51 @@ def load_model(
                 layer["w_gate"] = _put(wg, put, p + "ffn_gate.weight")
                 layer["w_up"] = _put(wu, put, p + "ffn_up.weight")
             layer["w_down"] = rp(p + "ffn_down.weight")
+        layers.append(layer)
+    params["layers"] = layers
+    return cfg, params, r
+
+
+def _load_mamba(r: GGUFReader, cfg, put, scale_dtype, pack_pairs,
+                widen: bool):
+    """Mamba (recurrent) arch: llama.cpp `mamba` GGUF tensor naming.
+
+    Matmul weights repack like any other arch; the SSM side parameters
+    (conv taps, dt bias, A_log, D) are small f32 tensors kept dense."""
+
+    def rp(name: str, layout: str = "kmajor") -> QTensor:
+        return _put(
+            _repack_named(r, name, layout, scale_dtype, pack_pairs, widen),
+            put, name,
+        )
+
+    params: dict = {
+        "tok_embd": rp("token_embd.weight", "rowmajor"),
+        "output_norm": rp("output_norm.weight", "dense"),
+    }
+    if "output.weight" in r.tensors:
+        params["output"] = rp("output.weight")
+    else:
+        params["output"] = rp("token_embd.weight", "kmajor")
+
+    layers = []
+    for i in range(cfg.n_layers):
+        p = f"blk.{i}."
+        di, dc = cfg.ssm_d_inner, cfg.ssm_d_conv
+        layer = {
+            "attn_norm": rp(p + "attn_norm.weight", "dense"),
+            "ssm_in": rp(p + "ssm_in.weight"),
+            "ssm_x": rp(p + "ssm_x.weight"),
+            "ssm_dt": rp(p + "ssm_dt.weight"),
+            "ssm_out": rp(p + "ssm_out.weight"),
+            "conv_w": jnp.asarray(
+                r.tensor_float(p + "ssm_conv1d.weight").reshape(di, dc)),
+            "conv_b": jnp.asarray(r.tensor_float(p + "ssm_conv1d.bias")),
+            "dt_b": jnp.asarray(r.tensor_float(p + "ssm_dt.bias")),
+            "A_log": jnp.asarray(
+                r.tensor_float(p + "ssm_a").reshape(di, cfg.ssm_d_state)),
+            "Dd": jnp.asarray(r.tensor_float(p + "ssm_d")),
+        }
         layers.append(layer)
     params["layers"] = layers
     return cfg, params, r

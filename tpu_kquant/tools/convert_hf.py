@@ -116,6 +116,7 @@ def convert(hf_dir: str, out_path: str, recipe: str = "f16",
     leftovers = [k for k in state if k not in consumed and "rotary_emb" not in k]
     if leftovers and verbose:
         print(f"  WARNING: unconverted tensors: {leftovers[:8]}", file=sys.stderr)
+    _export_tokenizer(w, hf_dir, cfg, verbose=verbose)
     w.write()
     return out_path
 
