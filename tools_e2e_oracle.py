@@ -187,28 +187,43 @@ def main():
                     f"corr {corr:.5f}, argmax {'match' if am else 'MISMATCH'}", ok))
     log(f"logits: corr {corr:.5f} argmax match={am}")
 
-    # --- 4. greedy generation -------------------------------------------------
+    # --- 4. greedy generation (teacher-forced agreement) ----------------------
+    # On a RANDOM-init model the top-2 logit gap is razor thin, and exact
+    # greedy-trajectory comparison is ill-conditioned BY CONSTRUCTION: HF's
+    # own model.generate (incremental KV path) disagrees with HF's own
+    # non-cached forward argmax on the very first token (measured r3:
+    # 18520 vs 1885 — and OUR engine matches the forward's 1885). The honest
+    # check is therefore teacher-forced: run ONE HF forward over
+    # [prompt + our greedy continuation] and count steps where our token is
+    # HF's argmax OR within a near-tie logit gap of it.
     t0 = time.time()
     ours_gen = eng.generate([ids], max_new_tokens=args.gen, temperature=0.0)[0]
     log(f"engine generate {time.time()-t0:.1f}s")
     t0 = time.time()
     with torch.no_grad():
-        hf_gen = model.generate(
-            torch.tensor([ids]), max_new_tokens=args.gen, do_sample=False,
-            eos_token_id=None, pad_token_id=0,
-        )[0, len(ids):].tolist()
-    log(f"torch generate {time.time()-t0:.1f}s")
-    n_agree = 0
-    for a, b in zip(ours_gen, hf_gen):
-        if a != b:
-            break
-        n_agree += 1
-    # bf16-vs-f32 numerics can flip near-tied argmaxes in a random-init model
-    # (logit gaps are tiny); require a solid prefix, report the full length
-    ok = n_agree >= min(8, args.gen)
-    results.append(("greedy generation vs HF model.generate",
-                    f"first {n_agree}/{args.gen} tokens identical", ok))
-    log(f"greedy: {n_agree}/{args.gen} tokens match ({ours_gen[:8]} vs {hf_gen[:8]})")
+        full = ids + ours_gen
+        lg = model(torch.tensor([full])).logits[0].float()
+    log(f"torch teacher-forced forward {time.time()-t0:.1f}s")
+    n_exact = n_tie = 0
+    gaps = []
+    for i, tok_i in enumerate(ours_gen):
+        step_logits = lg[len(ids) - 1 + i]
+        top = int(torch.argmax(step_logits))
+        gap = float(step_logits.max() - step_logits[tok_i])
+        gaps.append(gap)
+        if top == tok_i:
+            n_exact += 1
+        elif gap < 0.15:  # near-tie: the engine computes in bf16 (~2^-8
+            # relative), so logits of magnitude ~10 carry ~0.04-0.08 of
+            # legitimate numerics noise; a sub-0.15 gap is not a wrong token
+            n_tie += 1
+    ok = (n_exact + n_tie) == len(ours_gen)
+    results.append((
+        "greedy generation vs torch (teacher-forced)",
+        f"{n_exact}/{args.gen} exact argmax + {n_tie} near-ties "
+        f"(max logit gap {max(gaps):.4f})", ok))
+    log(f"greedy teacher-forced: {n_exact} exact + {n_tie} near-ties / "
+        f"{args.gen}; max gap {max(gaps):.4f}")
 
     # --- 5. perplexity vs torch oracle ---------------------------------------
     from tpu_kquant.tools.perplexity import perplexity
