@@ -721,7 +721,8 @@ def fused_oproj_ffn(
     act_fn: str = "silu",
     out_dtype=None,
     interpret: bool = False,
-    tko: int = 512,
+    tko: int = 1024,  # same-session sweep r3: tko=1024/tf=512 52.9 us vs
+    #                   54.4 at tko=512 (VMEM cap still bounds 8B chunks)
     tf: int | None = None,
 ) -> jnp.ndarray:
     """x2 + ffn(x2) with x2 = x + attn @ Wo^T; one kernel launch."""

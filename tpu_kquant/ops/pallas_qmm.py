@@ -287,7 +287,9 @@ def _qmm_call(x2d, arrays_tuple, kind, shape, keys, out_dtype, interpret, tn, tb
 
 import os
 
-_TN_DEFAULT = int(os.environ.get("TKQ_TN", "3072"))
+# tn=4096/tb=256 measured best on the q6w+sp lm head (v5e same-session
+# sweep, r3): 100.5 us / 89.6% HBM vs 107.5-109.7 at tn=3072
+_TN_DEFAULT = int(os.environ.get("TKQ_TN", "4096"))
 _FUSE_X = os.environ.get("TKQ_FUSE_X", "0") == "1"
 # 512 halves the K-grid depth vs 256 (fewer per-step fixed costs; ffn_down's
 # K=5632 = 512*11 divides exactly): tg128 520 -> 543 t/s measured on v5e
