@@ -149,3 +149,25 @@ def test_session_roundtrip(tmp_path, hf_and_gguf, engine):
     a, _ = engine.decode_step(jnp.asarray([7], jnp.int32), jnp.asarray(lens), cache)
     b, _ = engine.decode_step(jnp.asarray([7], jnp.int32), jnp.asarray(lens2), cache2)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_convert_hf_mamba(tmp_path, hf_and_gguf):
+    """tools/convert_hf on a saved HF MambaForCausalLM produces a GGUF whose
+    engine logits match torch (the real-checkpoint conversion path)."""
+    from tpu_kquant.tools.convert_hf import convert
+
+    model, _ = hf_and_gguf
+    hf_dir = tmp_path / "hf"
+    model.save_pretrained(str(hf_dir), safe_serialization=True)
+    out = tmp_path / "conv.gguf"
+    convert(str(hf_dir), str(out), recipe="f32", verbose=False)
+
+    cfg, params, reader = load_model(str(out))
+    assert cfg.is_recurrent and cfg.ssm_d_inner == DI
+    eng = InferenceEngine(cfg, params, max_batch=1, max_seq=64)
+    ids = [3, 77, 200, 145, 9, 411]
+    want = _hf_logits(model, ids)[-1]
+    logits, _, _ = eng.prefill([ids], eng.new_cache(1))
+    got = np.asarray(logits[0], np.float32)
+    assert np.argmax(got) == np.argmax(want)
+    assert np.corrcoef(got, want)[0, 1] > 0.999

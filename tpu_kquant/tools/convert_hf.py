@@ -64,6 +64,8 @@ def convert(hf_dir: str, out_path: str, recipe: str = "f16",
     hf_dir = str(hf_dir)
     cfg = json.loads((Path(hf_dir) / "config.json").read_text())
     state = _load_state_dict(hf_dir)
+    if cfg.get("model_type") == "mamba":
+        return _convert_mamba(hf_dir, out_path, cfg, state, recipe, verbose)
 
     n_layers = cfg["num_hidden_layers"]
     n_head = cfg["num_attention_heads"]
@@ -250,3 +252,61 @@ def main(argv=None):
 
 if __name__ == "__main__":
     main()
+
+
+def _convert_mamba(hf_dir: str, out_path: str, cfg: dict, state: dict,
+                   recipe: str, verbose: bool) -> str:
+    """HF MambaForCausalLM -> llama.cpp `mamba` GGUF (ssm_* tensor naming).
+
+    Matmul projections follow the quant recipe; the SSM side parameters
+    (conv taps/bias, dt bias, A_log, D) stay F32, matching llama.cpp's
+    convert_hf_to_gguf mamba handling."""
+    dim = cfg["hidden_size"]
+    di = cfg.get("intermediate_size") or cfg.get("expand", 2) * dim
+    dtr = cfg.get("time_step_rank") or -(-dim // 16)
+
+    w = GGUFWriter(out_path)
+    w.add("general.architecture", "mamba")
+    w.add("general.name", Path(hf_dir).name)
+    w.add("mamba.block_count", cfg["num_hidden_layers"])
+    w.add("mamba.context_length", cfg.get("max_position_embeddings", 1 << 20))
+    w.add("mamba.embedding_length", dim)
+    w.add("mamba.attention.layer_norm_rms_epsilon",
+          float(cfg.get("layer_norm_epsilon", 1e-5)))
+    w.add("mamba.ssm.conv_kernel", cfg.get("conv_kernel", 4))
+    w.add("mamba.ssm.inner_size", di)
+    w.add("mamba.ssm.state_size", cfg.get("state_size", 16))
+    w.add("mamba.ssm.time_step_rank", dtr)
+    w.add("mamba.vocab_size", cfg["vocab_size"])
+
+    def put(gguf_name: str, arr: np.ndarray, force_f32: bool = False):
+        t = (GGMLType.F32 if force_f32
+             else _target_type(gguf_name, arr.shape, recipe))
+        w.add_tensor(gguf_name, np.asarray(arr, np.float32), t)
+        if verbose:
+            print(f"  {gguf_name}: {tuple(arr.shape)} -> {t.name}",
+                  file=sys.stderr)
+
+    put("token_embd.weight", state["backbone.embeddings.weight"])
+    put("output_norm.weight", state["backbone.norm_f.weight"], force_f32=True)
+    if "lm_head.weight" in state:
+        put("output.weight", state["lm_head.weight"])
+    for i in range(cfg["num_hidden_layers"]):
+        hf = f"backbone.layers.{i}."
+        p = f"blk.{i}."
+        put(p + "attn_norm.weight", state[hf + "norm.weight"], force_f32=True)
+        put(p + "ssm_in.weight", state[hf + "mixer.in_proj.weight"])
+        put(p + "ssm_conv1d.weight",
+            state[hf + "mixer.conv1d.weight"][:, 0, :], force_f32=True)
+        put(p + "ssm_conv1d.bias", state[hf + "mixer.conv1d.bias"],
+            force_f32=True)
+        put(p + "ssm_x.weight", state[hf + "mixer.x_proj.weight"])
+        put(p + "ssm_dt.weight", state[hf + "mixer.dt_proj.weight"])
+        put(p + "ssm_dt.bias", state[hf + "mixer.dt_proj.bias"],
+            force_f32=True)
+        put(p + "ssm_a", state[hf + "mixer.A_log"], force_f32=True)
+        put(p + "ssm_d", state[hf + "mixer.D"], force_f32=True)
+        put(p + "ssm_out.weight", state[hf + "mixer.out_proj.weight"])
+    _export_tokenizer(w, hf_dir, cfg, verbose=verbose)
+    w.write()
+    return out_path
