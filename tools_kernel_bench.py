@@ -73,11 +73,20 @@ def mk_q4(N: int, K: int, rng, sm: bool = True) -> QTensor:
     return QTensor("q4", "kmajor", (N, K), arrays)
 
 
-def mk_q6w(N: int, K: int, rng) -> QTensor:
+def mk_q6w(N: int, K: int, rng, sp: bool = True) -> QTensor:
+    """sp=True matches the bench model's loader layout (scale_dtype='bf16'
+    packs adjacent-group bf16 scale pairs, quant.repack.pack_scale_kpairs)."""
     qs = rng.integers(-32, 32, (K, N)).astype(np.int8)
     scales = (rng.random((K // 16, N), dtype=np.float32) * 0.01).astype(np.float32)
-    return QTensor("q6w", "kmajor", (N, K), {
+    qt = QTensor("q6w", "kmajor", (N, K), {
         "qs": jnp.asarray(qs), "scales": jnp.asarray(scales)})
+    if sp:
+        from tpu_kquant.quant.repack import pack_scale_kpairs
+
+        qt = pack_scale_kpairs(qt)
+        qt = QTensor(qt.kind, qt.layout, qt.shape,
+                     {k: jnp.asarray(v) for k, v in qt.arrays.items()})
+    return qt
 
 
 def qt_bytes(qt: QTensor) -> int:
