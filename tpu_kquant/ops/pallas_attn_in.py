@@ -37,9 +37,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from tpu_kquant.ops.pallas_dequant import (
     act_quant_to_scratch,
+    attn_in_int8_auto,
     group_scale_mul_sp,
     group_scale_mulsub,
-    int8_folds_enabled,
     int8_group_fold,
     q4_codes_word,
 )
@@ -382,6 +382,8 @@ def fused_attn_in(
     outs = _attn_in_call(
         x2d, norm_w, flat_arrays, cos_full, sin_full, flat_biases,
         kinds, keys, ns, has_bias, D, half_rot, float(eps), float(nw_scale),
-        jnp.dtype(out_dtype).name, interpret, tk, i8=int8_folds_enabled(),
+        jnp.dtype(out_dtype).name, interpret, tk,
+        i8=attn_in_int8_auto(max(
+            (n for w, n in zip(ws, ns) if w.kind == "q4"), default=0)),
     )
     return tuple(o.reshape(*lead, n) for o, n in zip(outs, ns))

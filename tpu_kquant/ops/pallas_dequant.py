@@ -49,10 +49,29 @@ def int8_folds_enabled() -> bool:
     pass) plus an in-kernel activation-quant transpose at the phase
     boundary. The standalone qmm context (no DMA partner to hide VPU work)
     is where int8 wins: 24.8 us vs 34.3 us on the same tensor.
+
+    EXCEPTION (attn_in at 8B-class widths): the attention-input kernel has
+    no flat-kind DMA partner wide enough to hide a 5120-wide q4 dequant —
+    same-session 8B A/B measured 34.1 us (int8) vs 37.9 us (dequant), so
+    'auto' mode (the default) turns the folds on for attn_in when its
+    widest q4 projection is >= 4096 columns (attn_in_int8_auto below).
     """
     import os
 
-    return os.environ.get("TKQ_INT8_FOLDS", "0") == "1"
+    return os.environ.get("TKQ_INT8_FOLDS", "auto") == "1"
+
+
+def attn_in_int8_auto(ns_q4_max: int) -> bool:
+    """Shape-aware int8-fold policy for the attention-input kernel (see
+    int8_folds_enabled docstring). ns_q4_max: widest q4 projection's N."""
+    import os
+
+    mode = os.environ.get("TKQ_INT8_FOLDS", "auto")
+    if mode == "1":
+        return True
+    if mode == "auto":
+        return ns_q4_max >= 4096
+    return False
 
 
 def q4_codes_word(qs_u8: jnp.ndarray, hi_fold: bool) -> jnp.ndarray:
