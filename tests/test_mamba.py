@@ -171,3 +171,23 @@ def test_convert_hf_mamba(tmp_path, hf_and_gguf):
     got = np.asarray(logits[0], np.float32)
     assert np.argmax(got) == np.argmax(want)
     assert np.corrcoef(got, want)[0, 1] > 0.999
+
+
+def test_continuous_batching_mamba(hf_and_gguf):
+    """The serving loop works over the recurrent cache: slot prefill masks
+    pads, outputs match single-stream generate."""
+    from tpu_kquant.serving.scheduler import ContinuousBatcher, Request
+
+    _, path = hf_and_gguf
+    cfg, params, reader = load_model(path)
+    eng = InferenceEngine(cfg, params, max_batch=2, max_seq=96)
+    prompts = [[3, 77, 200, 145, 9], [8, 12, 400]]
+    want = [eng.generate([p], max_new_tokens=8)[0] for p in prompts]
+
+    cb = ContinuousBatcher(eng)
+    for p in prompts:
+        cb.submit(Request(prompt=p, max_new_tokens=8))
+    done = cb.run()
+    got = {tuple(r.prompt): r.output for r in done}
+    for p, w in zip(prompts, want):
+        assert got[tuple(p)] == w, (got[tuple(p)], w)

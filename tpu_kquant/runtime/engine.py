@@ -174,13 +174,17 @@ class InferenceEngine:
         from tpu_kquant.runtime.kv_cache import set_batch_row, slice_batch_row
 
         @partial(jax.jit, donate_argnums=(3,))
-        def _prefill_slot(params, tokens, positions, cache, slot):
+        def _prefill_slot(params, tokens, positions, cache, slot, kv_valid):
             """Prefill ONE sequence into batch row ``slot`` (traced index)
             while other rows' cache stays intact — the primitive behind
-            continuous batching (requests join a running batch)."""
+            continuous batching (requests join a running batch). kv_valid
+            masks right-pad steps — required for recurrent state (a pad
+            update is forever), ignored by unified-KV appends (pad slots
+            are overwritten before they can be attended)."""
             row = slice_batch_row(cache, slot)
             logits, row = fwd(
-                params, cfg, tokens, positions, row, logits_last_only=False
+                params, cfg, tokens, positions, row, logits_last_only=False,
+                kv_valid=kv_valid,
             )
             return logits[0], set_batch_row(cache, row, slot)
 
@@ -310,9 +314,10 @@ class InferenceEngine:
         toks = np.zeros((1, T), np.int32)
         toks[0, : len(tokens)] = tokens
         positions = np.arange(T, dtype=np.int32)[None, :]
+        valid = (positions < len(tokens))
         logits, cache = self._prefill_slot(
             self.params, jnp.asarray(toks), jnp.asarray(positions), cache,
-            jnp.int32(slot),
+            jnp.int32(slot), jnp.asarray(valid),
         )
         return logits[len(tokens) - 1], cache
 

@@ -139,13 +139,26 @@ class ContinuousBatcher:
             nfill=jnp.zeros(B, jnp.int32),
         )
 
+        recurrent = engine.cfg.is_recurrent
+
         @partial(jax.jit, donate_argnums=(1, 2))
         def _tick_fn(params, cache, st: _DevState):
             """Fused serving tick: decode + logits merge + sampler chain in
             ONE dispatch; no host operands, one [B] fetch back."""
+            pre = cache
             logits, cache = engine._step(
                 params, st.toks[:, None], st.poss[:, None], cache, True
             )
+            if recurrent:
+                # a fresh row's decode this tick is a dummy; for a KV cache
+                # its write is overwritten at the same slot next tick, but a
+                # RECURRENT state update is forever — restore fresh rows'
+                # pre-tick state (the state is O(layers*d_inner), tiny)
+                cache = jax.tree.map(
+                    lambda old, new: jnp.where(
+                        st.fresh.reshape((1, -1) + (1,) * (new.ndim - 2)),
+                        old, new),
+                    pre, cache)
             l = jnp.where(st.fresh[:, None], st.pending,
                           logits[:, 0, :].astype(jnp.float32))
             l = apply_penalties_rows(l, st.counts, st.rps, st.pps, st.fps)
