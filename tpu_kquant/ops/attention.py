@@ -68,10 +68,15 @@ def attention_decode(
         and D % 64 == 0
         and k_cache.shape[2] % 64 == 0
         and (impl == "pallas" or _on_tpu())
-        # kernel-launch overhead only pays off once the KV working set is
-        # non-trivial (large batch and/or long context); below that the
-        # XLA-fused path wins at decode
-        and (impl == "pallas" or B * k_cache.shape[2] >= 4096)
+        # the fused XLA path WINS at every single-stream decode shape
+        # measured (same-session v5e sweep, r3: S=4096 8.7 us XLA vs 12.8
+        # best-tiled pallas; S=16384 27.1 vs 46.0 — 75.6% vs 44.5% HBM; the
+        # kernel's (B, Hkv, nS) grid makes small per-tile DMAs and 8-row
+        # matmuls). Dispatch the blockwise kernel only where XLA's
+        # materialized [B, H, S] logits would be large — same policy as the
+        # prefill gate below.
+        and (impl == "pallas"
+             or (B * H * k_cache.shape[2] * 4) / 1e6 > _PREFILL_XLA_MAX_MB)
         # int8-KV scale tiles need 128-divisible lane blocks (Mosaic rule):
         # the kernel requires S % 256 == 0 when quantized
         and (kv_scales is None or k_cache.shape[2] % 256 == 0)
