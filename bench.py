@@ -237,6 +237,9 @@ def main():
     tg = float(np.median(results["tg"]))
     tg_mean, tg_std = float(np.mean(results["tg"])), float(np.std(results["tg"]))
     pp_mean, pp_std = float(np.mean(results["pp"])), float(np.std(results["pp"]))
+    # the pp marginal is a difference of two chain timings; tunnel jitter
+    # occasionally collapses a rep — the median/max are the robust stats
+    pp_median = float(np.median(results["pp"]))
     pp = max(results["pp"])
     log(f"pp{args.pp}: {pp_mean:.1f} ± {pp_std:.1f} t/s   "
         f"tg{args.tg}: {tg_mean:.1f} ± {tg_std:.1f} t/s marginal "
@@ -268,6 +271,7 @@ def main():
         "vs_baseline": round(tg / BASELINE_TG128, 2),
         "mean": round(tg_mean, 2), "stddev": round(tg_std, 2),
         "pp_mean": round(pp_mean, 2), "pp_stddev": round(pp_std, 2),
+        "pp_median": round(pp_median, 2), "pp_best": round(pp, 2),
         "reps": args.reps,
     }))
 
