@@ -191,3 +191,33 @@ def test_continuous_batching_mamba(hf_and_gguf):
     got = {tuple(r.prompt): r.output for r in done}
     for p, w in zip(prompts, want):
         assert got[tuple(p)] == w, (got[tuple(p)], w)
+
+
+def test_staggered_admission_and_slot_reuse_mamba(hf_and_gguf):
+    """Recurrent serving with requests admitted AFTER ticks have run and
+    into REUSED slots: inactive slots' dummy decodes must not drift their
+    recurrent state, and a reused slot must prefill from zeros, not the
+    previous request's final state (ADVICE r3 high)."""
+    from tpu_kquant.serving.scheduler import ContinuousBatcher, Request
+
+    _, path = hf_and_gguf
+    cfg, params, reader = load_model(path)
+    eng = InferenceEngine(cfg, params, max_batch=2, max_seq=96)
+    prompts = [[3, 77, 200, 145, 9], [8, 12, 400], [41, 7, 300, 18]]
+    want = [eng.generate([p], max_new_tokens=6)[0] for p in prompts]
+
+    cb = ContinuousBatcher(eng)
+    # r0 alone: slot 1 stays inactive and runs dummy decodes for 3 ticks
+    cb.submit(Request(prompt=prompts[0], max_new_tokens=6))
+    for _ in range(3):
+        cb.step()
+    # r1 admitted into the drifted slot 1 mid-stream
+    cb.submit(Request(prompt=prompts[1], max_new_tokens=6))
+    while cb.has_work():
+        cb.step()
+    # r2 reuses a slot that held a finished request's final state
+    cb.submit(Request(prompt=prompts[2], max_new_tokens=6))
+    done = cb.run()  # returns everything finished so far (r0, r1, r2)
+    got = {tuple(r.prompt): r.output for r in done}
+    for p, w in zip(prompts, want):
+        assert got[tuple(p)] == w, (p, got[tuple(p)], w)

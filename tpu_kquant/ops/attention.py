@@ -20,11 +20,16 @@ def _on_tpu() -> bool:
         return False
 
 
-# materialized-logits budget below which the fused XLA prefill attention
-# beats the blockwise Pallas kernel (see dispatch comment below)
+# materialized-logits budget below which the fused XLA attention beats the
+# blockwise Pallas kernel — governs BOTH the decode and prefill dispatch
+# gates below. TKQ_ATTN_XLA_MAX_MB is the canonical knob; the legacy
+# TKQ_PREFILL_XLA_MAX_MB name (r3, when only prefill used it) is honored as
+# an alias.
 import os
 
-_PREFILL_XLA_MAX_MB = float(os.environ.get("TKQ_PREFILL_XLA_MAX_MB", "192"))
+_ATTN_XLA_MAX_MB = float(
+    os.environ.get("TKQ_ATTN_XLA_MAX_MB",
+                   os.environ.get("TKQ_PREFILL_XLA_MAX_MB", "192")))
 
 
 def attention_decode(
@@ -76,7 +81,7 @@ def attention_decode(
         # materialized [B, H, S] logits would be large — same policy as the
         # prefill gate below.
         and (impl == "pallas"
-             or (B * H * k_cache.shape[2] * 4) / 1e6 > _PREFILL_XLA_MAX_MB)
+             or (B * H * k_cache.shape[2] * 4) / 1e6 > _ATTN_XLA_MAX_MB)
         # int8-KV scale tiles need 128-divisible lane blocks (Mosaic rule):
         # the kernel requires S % 256 == 0 when quantized
         and (kv_scales is None or k_cache.shape[2] % 256 == 0)
@@ -111,7 +116,7 @@ def attention_decode(
 
         logits_mb = (B * T * H * k_cache.shape[2] * 4) / 1e6
         if prefill_supported(T, k_cache.shape[2], D) and (
-                impl == "pallas" or logits_mb > _PREFILL_XLA_MAX_MB):
+                impl == "pallas" or logits_mb > _ATTN_XLA_MAX_MB):
             return attention_prefill_pallas(
                 q, k_cache, v_cache, q_positions[:, 0], kv_scales, scale,
                 sliding_window=sliding_window,

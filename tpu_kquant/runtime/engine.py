@@ -182,6 +182,13 @@ class InferenceEngine:
             update is forever), ignored by unified-KV appends (pad slots
             are overwritten before they can be attended)."""
             row = slice_batch_row(cache, slot)
+            if cfg.is_recurrent:
+                # a reused slot's row still holds the PREVIOUS request's
+                # final conv/ssm state (plus any dummy-decode drift while the
+                # slot sat inactive); a recurrent forward carries the
+                # incoming row as its initial state, so it must start from
+                # zeros — a KV row needs no reset (pads are overwritten)
+                row = jax.tree.map(jnp.zeros_like, row)
             logits, row = fwd(
                 params, cfg, tokens, positions, row, logits_last_only=False,
                 kv_valid=kv_valid,

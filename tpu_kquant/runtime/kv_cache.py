@@ -353,15 +353,3 @@ def set_batch_row(cache, row, slot):
         cache, row)
 
 
-def _set_batch_row_old(cache: KVCache, row: KVCache, slot) -> KVCache:
-    import jax
-
-    def st(x, u):
-        return None if x is None else jax.lax.dynamic_update_slice_in_dim(x, u, slot, axis=1)
-
-    return KVCache(
-        st(cache.k, row.k),
-        st(cache.v, row.v),
-        st(cache.k_scale, row.k_scale),
-        st(cache.v_scale, row.v_scale),
-    )

@@ -150,13 +150,17 @@ class ContinuousBatcher:
                 params, st.toks[:, None], st.poss[:, None], cache, True
             )
             if recurrent:
-                # a fresh row's decode this tick is a dummy; for a KV cache
-                # its write is overwritten at the same slot next tick, but a
-                # RECURRENT state update is forever — restore fresh rows'
-                # pre-tick state (the state is O(layers*d_inner), tiny)
+                # a fresh or INACTIVE row's decode this tick is a dummy; for
+                # a KV cache its write is overwritten at the same slot next
+                # tick, but a RECURRENT state update is forever — restore
+                # those rows' pre-tick state (the state is
+                # O(layers*d_inner), tiny). Without the ~active term, a slot
+                # that idles between requests accumulates dummy-decode drift
+                # that the next admission would prefill on top of.
+                frozen = st.fresh | ~st.active
                 cache = jax.tree.map(
                     lambda old, new: jnp.where(
-                        st.fresh.reshape((1, -1) + (1,) * (new.ndim - 2)),
+                        frozen.reshape((1, -1) + (1,) * (new.ndim - 2)),
                         old, new),
                     pre, cache)
             l = jnp.where(st.fresh[:, None], st.pending,

@@ -263,7 +263,11 @@ def _convert_mamba(hf_dir: str, out_path: str, cfg: dict, state: dict,
     convert_hf_to_gguf mamba handling."""
     dim = cfg["hidden_size"]
     di = cfg.get("intermediate_size") or cfg.get("expand", 2) * dim
-    dtr = cfg.get("time_step_rank") or -(-dim // 16)
+    # HF MambaConfig defaults time_step_rank to the STRING "auto" (truthy);
+    # resolve it to ceil(dim/16) like llama.cpp's convert_hf_to_gguf does
+    dtr = cfg.get("time_step_rank")
+    if not isinstance(dtr, int):
+        dtr = -(-dim // 16)
 
     w = GGUFWriter(out_path)
     w.add("general.architecture", "mamba")
