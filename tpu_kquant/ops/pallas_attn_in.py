@@ -38,9 +38,11 @@ from jax.experimental.pallas import tpu as pltpu
 from tpu_kquant.ops.pallas_dequant import (
     act_quant_to_scratch,
     attn_in_int8_auto,
+    fold_dot_mxu,
     group_scale_mul_sp,
     group_scale_mulsub,
     int8_group_fold,
+    mxu_mins_enabled,
     q4_codes_word,
 )
 from tpu_kquant.quant.qtensor import QTensor
@@ -103,7 +105,8 @@ def _decode_sm(sm_block):
     return s, m
 
 
-def _attn_in_kernel(specs, i8, D, TK2, nk, half_rot, eps, nw_scale, *refs):
+def _attn_in_kernel(specs, i8, mxu, D, TK2, nk, half_rot, eps, nw_scale,
+                    *refs):
     """specs: per-weight static descriptors (kind, has_sm, has_mins, has_bias).
 
     Ref order: x_full, nw, [nw_full if i8], x_lo, x_hi, per-weight packed
@@ -156,12 +159,16 @@ def _attn_in_kernel(specs, i8, D, TK2, nk, half_rot, eps, nw_scale, *refs):
 
     nw_lo = nw_lo_ref[:].astype(jnp.float32) + nw_scale
     nw_hi = nw_hi_ref[:].astype(jnp.float32) + nw_scale
-    x_lo = (x_lo_ref[:].astype(jnp.float32) * rstd * nw_lo).astype(jnp.bfloat16)
-    x_hi = (x_hi_ref[:].astype(jnp.float32) * rstd * nw_hi).astype(jnp.bfloat16)
+    x_lo_f = x_lo_ref[:].astype(jnp.float32) * rstd * nw_lo
+    x_hi_f = x_hi_ref[:].astype(jnp.float32) * rstd * nw_hi
+    # mxu chain (pallas_dequant.mxu_mins_enabled): the MXU's default-
+    # precision f32 matmul rounds inputs to bf16 itself — skip the casts
+    x_lo = x_lo_f if mxu else x_lo_f.astype(jnp.bfloat16)
+    x_hi = x_hi_f if mxu else x_hi_f.astype(jnp.bfloat16)
 
     def mm(x, w):
         return jax.lax.dot_general(
-            x, w.astype(jnp.bfloat16),
+            x, w if mxu else w.astype(jnp.bfloat16),
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
@@ -184,6 +191,12 @@ def _attn_in_kernel(specs, i8, D, TK2, nk, half_rot, eps, nw_scale, *refs):
                     d = int8_group_fold(
                         xq_scr, xs_scr, gs_scr, goff, TK2 // g,
                         q4_codes_word(qs[0][:], bool(hi)), sc, mn, g)
+                elif mxu:
+                    # per-code work = extract + convert + scale-mul; min
+                    # term via two small MXU passes (fold_dot_mxu)
+                    d = fold_dot_mxu(x_hi_f if hi else x_lo_f,
+                                     q4_codes_word(qs[0][:], bool(hi)),
+                                     sc, mn, g)
                 else:
                     # i32-word nibble extraction (pallas_dequant): 4 codes/op
                     q = q4_codes_word(qs[0][:], bool(hi)).astype(jnp.float32)
@@ -229,11 +242,12 @@ def _attn_in_kernel(specs, i8, D, TK2, nk, half_rot, eps, nw_scale, *refs):
 @functools.partial(
     jax.jit,
     static_argnames=("kinds", "keys", "ns", "has_bias", "D", "half_rot",
-                     "eps", "nw_scale", "out_dtype", "interpret", "tk", "i8"),
+                     "eps", "nw_scale", "out_dtype", "interpret", "tk", "i8",
+                     "mxu"),
 )
 def _attn_in_call(x2d, norm_w, flat_arrays, cos_full, sin_full, flat_biases,
                   kinds, keys, ns, has_bias, D, half_rot, eps, nw_scale,
-                  out_dtype, interpret, tk, i8=False):
+                  out_dtype, interpret, tk, i8=False, mxu=False):
     R = x2d.shape[0]
     nw2d = norm_w.reshape(1, D)
     i8 = i8 and "q4" in kinds
@@ -306,8 +320,8 @@ def _attn_in_call(x2d, norm_w, flat_arrays, cos_full, sin_full, flat_biases,
                                          memory_space=pltpu.VMEM))
             inputs.append(next(bi).reshape(1, ns[i]))
 
-    kernel = functools.partial(_attn_in_kernel, tuple(specs), i8, D, TK2, nk,
-                               half_rot, eps, nw_scale)
+    kernel = functools.partial(_attn_in_kernel, tuple(specs), i8, mxu, D,
+                               TK2, nk, half_rot, eps, nw_scale)
     bytes_accessed = sum(
         v.size * v.dtype.itemsize for v in flat_arrays
     ) + 2 * R * D + 2 * R * sum(ns) + 8 * R * n0
@@ -385,5 +399,6 @@ def fused_attn_in(
         jnp.dtype(out_dtype).name, interpret, tk,
         i8=attn_in_int8_auto(max(
             (n for w, n in zip(ws, ns) if w.kind == "q4"), default=0)),
+        mxu=mxu_mins_enabled(),
     )
     return tuple(o.reshape(*lead, n) for o, n in zip(outs, ns))

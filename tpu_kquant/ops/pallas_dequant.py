@@ -115,6 +115,64 @@ def group_scale_mul_sp(q_f32: jnp.ndarray, sp_block: jnp.ndarray,
     return w.reshape(TK, TN)
 
 
+def mxu_mins_enabled() -> bool:
+    """Kernel-lab r4 finding (tools_kernel_lab.py, artifacts/perf/
+    kernel_lab_r4.json): the Mosaic grid pipeline does NOT overlap in-body
+    VPU work with the weight DMA stream (a fixed synthetic VPU load adds
+    wall time 1:1 even when far below the DMA time), so every op of the q4
+    f32 dequant chain (convert, scale-mul, min-sub, bf16 cast) is pure
+    kernel time — the gu-shape ladder measured dma 19.0 / convert 22.4 /
+    full 36.2 us. Two restructurings recover most of it, measured on the
+    same ladder (combo 25.9 vs full 36.2 at tk=256):
+
+      * min-subtract via MXU: sum_k x_k m_(k/g)n = (x @ G) @ M where G is
+        the [TK, TK/g] group-membership matrix — two small extra MXU passes
+        (idle unit) replace one VPU op per code.
+      * f32 dot, no explicit bf16 cast: the MXU's default-precision f32
+        matmul rounds its inputs to bf16 internally, so the explicit
+        .astype(bf16) of the widened [TK, N] dequant temporary (a full
+        VPU pass) is redundant with what the MXU does anyway.
+
+    Numerics: flat kinds are unchanged (same bf16 roundings, done by the
+    MXU instead of the VPU); q4 differs only in WHERE the min enters
+    (after the products' bf16 rounding instead of before) — within the
+    2e-2 kernel parity tolerances."""
+    import os
+
+    return os.environ.get("TKQ_Q4_MXU_MINS", "1") == "1"
+
+
+def group_gmat(TK: int, g: int, dtype=jnp.float32) -> jnp.ndarray:
+    """[TK, TK/g] group-membership matrix: G[k, j] = 1 iff k // g == j."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (TK, TK // g), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (TK, TK // g), 1)
+    return (r // g == c).astype(dtype)
+
+
+def _dot_f32(x, w):
+    return jax.lax.dot_general(
+        x, w, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def fold_dot_mxu(x_f32, codes_i8, s, m, g: int,
+                 t_f32=None) -> jnp.ndarray:
+    """One fold's [R, TN] f32 partial via the mxu_mins_enabled chain:
+    per-code work is convert + scale-mul only; the min term rides the MXU.
+
+    x_f32: [R, TK] f32 activation chunk; codes_i8: [TK, TN]; s/m:
+    [TK/g, TN] f32 (m may be None); t_f32: optional precomputed
+    [R, TK/g] per-group activation sums (else derived here via G)."""
+    TK, TN = codes_i8.shape
+    qf = codes_i8.astype(jnp.float32)
+    w = (qf.reshape(TK // g, g, TN) * s[:, None, :]).reshape(TK, TN)
+    d = _dot_f32(x_f32, w)
+    if m is not None:
+        t = t_f32 if t_f32 is not None else _dot_f32(x_f32, group_gmat(TK, g))
+        d = d - _dot_f32(t, m)
+    return d
+
+
 def act_quant_to_scratch(xn_f32, xq_scr, xs_scr, gs_scr, g: int) -> None:
     """Quantize a [R, K] f32 activation row-block into group-major int8
     scratch: xq [K/g, g, R] i8, xs [K/g, R] f32 scales, gs [K/g, R] f32

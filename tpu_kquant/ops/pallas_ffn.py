@@ -37,10 +37,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 from tpu_kquant.ops.pallas_dequant import (
     act_quant_to_scratch,
+    fold_dot_mxu,
     group_scale_mul_sp,
     group_scale_mulsub,
     int8_folds_enabled,
     int8_group_fold,
+    mxu_mins_enabled,
     q4_codes_word,
 )
 from tpu_kquant.quant.qtensor import QTensor
@@ -109,8 +111,8 @@ def _decode_sm(sm_block):
     return s, m
 
 
-def _ffn_kernel(gu_kind, dn_kind, gu_sm, gu_sp, gu_mins, dn_sp, i8, D, F,
-                TF, nf, eps, act_fn, *refs):
+def _ffn_kernel(gu_kind, dn_kind, gu_sm, gu_sp, gu_mins, dn_sp, i8, mxu, D,
+                F, TF, nf, eps, act_fn, *refs):
     it = iter(refs)
     x_ref = next(it)
     nw_ref = next(it)
@@ -145,8 +147,9 @@ def _ffn_kernel(gu_kind, dn_kind, gu_sm, gu_sp, gu_mins, dn_sp, i8, D, F,
         # rms_norm recomputed per step (R*D VPU flops — noise next to the DMA)
         xf = x_ref[:].astype(jnp.float32)
         var = jnp.mean(xf * xf, axis=-1, keepdims=True)
-        xn = (xf * jax.lax.rsqrt(var + eps) * nw_ref[:].astype(jnp.float32)
-              ).astype(jnp.bfloat16)
+        xn = xf * jax.lax.rsqrt(var + eps) * nw_ref[:].astype(jnp.float32)
+        if not mxu:
+            xn = xn.astype(jnp.bfloat16)
 
     def gu_matmul(qs_ref, s_ref, m_ref):
         """x_n @ dequant(W_chunk) -> [R, TF] f32."""
@@ -162,7 +165,7 @@ def _ffn_kernel(gu_kind, dn_kind, gu_sm, gu_sp, gu_mins, dn_sp, i8, D, F,
                     m_ref[:].astype(jnp.float32) if m_ref is not None else None,
                     g)
             return jax.lax.dot_general(
-                xn, w.astype(jnp.bfloat16),
+                xn, w if mxu else w.astype(jnp.bfloat16),
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
@@ -183,6 +186,9 @@ def _ffn_kernel(gu_kind, dn_kind, gu_sm, gu_sp, gu_mins, dn_sp, i8, D, F,
                 d = int8_group_fold(
                     xq_scr, xs_scr, gs_scr, half_g if hi else 0, half_g,
                     q4_codes_word(qs_ref[:], hi), s_h, m_h, g)
+            elif mxu:
+                d = fold_dot_mxu(xn[:, D // 2:] if hi else xn[:, : D // 2],
+                                 q4_codes_word(qs_ref[:], hi), s_h, m_h, g)
             else:
                 q = q4_codes_word(qs_ref[:], hi).astype(jnp.float32)
                 w = group_scale_mulsub(q, s_h, m_h, g)
@@ -211,7 +217,8 @@ def _ffn_kernel(gu_kind, dn_kind, gu_sm, gu_sp, gu_mins, dn_sp, i8, D, F,
         wd = group_scale_mulsub(d_qs[:].astype(jnp.float32),
                                 d_s[:].astype(jnp.float32), None, gd)
     acc[:] = acc[:] + jax.lax.dot_general(
-        a, wd.astype(jnp.bfloat16),
+        a.astype(jnp.float32) if mxu else a,
+        wd if mxu else wd.astype(jnp.bfloat16),
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
@@ -224,10 +231,12 @@ def _ffn_kernel(gu_kind, dn_kind, gu_sm, gu_sp, gu_mins, dn_sp, i8, D, F,
 @functools.partial(
     jax.jit,
     static_argnames=("gu_kind", "dn_kind", "gu_keys", "dn_keys", "D", "F",
-                     "eps", "act_fn", "out_dtype", "interpret", "tf", "i8"),
+                     "eps", "act_fn", "out_dtype", "interpret", "tf", "i8",
+                     "mxu"),
 )
 def _ffn_call(x2d, norm_w, gu_arrays, dn_arrays, gu_kind, dn_kind, gu_keys,
-              dn_keys, D, F, eps, act_fn, out_dtype, interpret, tf, i8=False):
+              dn_keys, D, F, eps, act_fn, out_dtype, interpret, tf, i8=False,
+              mxu=False):
     gu = dict(zip(gu_keys, gu_arrays))
     dn = dict(zip(dn_keys, dn_arrays))
     R = x2d.shape[0]
@@ -273,7 +282,8 @@ def _ffn_call(x2d, norm_w, gu_arrays, dn_arrays, gu_kind, dn_kind, gu_keys,
     inputs.append(dn["sp"] if dn_sp else dn["scales"])
 
     kernel = functools.partial(_ffn_kernel, gu_kind, dn_kind, gu_sm, gu_sp,
-                               gu_mins, dn_sp, i8, D, F, TF, nf, eps, act_fn)
+                               gu_mins, dn_sp, i8, mxu, D, F, TF, nf, eps,
+                               act_fn)
     bytes_accessed = (
         sum(v.size * v.dtype.itemsize for v in gu.values())
         + sum(v.size * v.dtype.itemsize for v in dn.values())
@@ -326,7 +336,7 @@ def fused_ffn(
         x2d, norm_w, tuple(gu.arrays[k] for k in gu_keys),
         tuple(dn.arrays[k] for k in dn_keys), gu.kind, dn.kind, gu_keys,
         dn_keys, D, F, float(eps), act_fn, jnp.dtype(out_dtype).name,
-        interpret, tf, i8=int8_folds_enabled(),
+        interpret, tf, i8=int8_folds_enabled(), mxu=mxu_mins_enabled(),
     )
     return y.reshape(*lead, D)
 
@@ -383,8 +393,8 @@ def oproj_ffn_enabled(impl: str, wo: QTensor, gu: QTensor, dn: QTensor,
 
 
 def _oproj_ffn_kernel(wo_kind, wo_sm, wo_sp, wo_mins, gu_kind, dn_kind,
-                      gu_sm, gu_sp, gu_mins, dn_sp, i8_wo, i8_gu, dim, K,
-                      TKo2, nko, F, TF, nf, eps, act_fn, *refs):
+                      gu_sm, gu_sp, gu_mins, dn_sp, i8_wo, i8_gu, mxu, dim,
+                      K, TKo2, nko, F, TF, nf, eps, act_fn, *refs):
     it = iter(refs)
     x_ref = next(it)
     nw_ref = next(it)
@@ -433,10 +443,12 @@ def _oproj_ffn_kernel(wo_kind, wo_sm, wo_sp, wo_mins, gu_kind, dn_kind,
 
     def mm(x, w):
         return jax.lax.dot_general(
-            x, w.astype(jnp.bfloat16),
+            x, w if mxu else w.astype(jnp.bfloat16),
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+
+    a_dt = jnp.float32 if mxu else jnp.bfloat16
 
     # ---- phase A: o_proj K-chunk ------------------------------------------
     @pl.when(j < nko)
@@ -456,6 +468,10 @@ def _oproj_ffn_kernel(wo_kind, wo_sm, wo_sp, wo_mins, gu_kind, dn_kind,
                     d = int8_group_fold(
                         aq_scr, as_scr, ags_scr, goff, TKo2 // gw,
                         q4_codes_word(wo_qs[0][:], bool(hi)), sc, mn, gw)
+                elif mxu:
+                    a = (a_lo_ref if hi == 0 else a_hi_ref)[:].astype(jnp.float32)
+                    d = fold_dot_mxu(a, q4_codes_word(wo_qs[0][:], bool(hi)),
+                                     sc, mn, gw)
                 else:
                     a = (a_lo_ref if hi == 0 else a_hi_ref)[:].astype(jnp.bfloat16)
                     q = q4_codes_word(wo_qs[0][:], bool(hi)).astype(jnp.float32)
@@ -472,7 +488,7 @@ def _oproj_ffn_kernel(wo_kind, wo_sm, wo_sp, wo_mins, gu_kind, dn_kind,
                     w = group_scale_mulsub(
                         wo_qs[hi][:].astype(jnp.float32),
                         wo_s[hi][:].astype(jnp.float32), None, gw)
-                d = mm(a_ref[:].astype(jnp.bfloat16), w)
+                d = mm(a_ref[:].astype(a_dt), w)
                 contrib = d if contrib is None else contrib + d
         acc_x[:] = acc_x[:] + contrib
 
@@ -497,8 +513,9 @@ def _oproj_ffn_kernel(wo_kind, wo_sm, wo_sp, wo_mins, gu_kind, dn_kind,
         if not i8_gu:
             xf = x2_scr[:].astype(jnp.float32)
             var = jnp.mean(xf * xf, axis=-1, keepdims=True)
-            xn = (xf * jax.lax.rsqrt(var + eps) * nw_ref[:].astype(jnp.float32)
-                  ).astype(jnp.bfloat16)
+            xn = xf * jax.lax.rsqrt(var + eps) * nw_ref[:].astype(jnp.float32)
+            if not mxu:
+                xn = xn.astype(jnp.bfloat16)
 
         def gu_matmul(qs_ref, s_ref, m_ref):
             g = GROUP_SIZE[gu_kind]
@@ -528,6 +545,10 @@ def _oproj_ffn_kernel(wo_kind, wo_sm, wo_sp, wo_mins, gu_kind, dn_kind,
                     d = int8_group_fold(
                         xq_scr, xs_scr, gs_scr, half_g if hi else 0, half_g,
                         q4_codes_word(qs_ref[:], hi), s_h, m_h, g)
+                elif mxu:
+                    d = fold_dot_mxu(
+                        xn[:, dim // 2:] if hi else xn[:, : dim // 2],
+                        q4_codes_word(qs_ref[:], hi), s_h, m_h, g)
                 else:
                     q = q4_codes_word(qs_ref[:], hi).astype(jnp.float32)
                     w = group_scale_mulsub(q, s_h, m_h, g)
@@ -542,6 +563,8 @@ def _oproj_ffn_kernel(wo_kind, wo_sm, wo_sp, wo_mins, gu_kind, dn_kind,
         else:
             a = jax.nn.silu(gate) * up
         a = a.astype(jnp.bfloat16)
+        if mxu:
+            a = a.astype(jnp.float32)
 
         gd = GROUP_SIZE[dn_kind]
         if dn_sp:
@@ -560,12 +583,12 @@ def _oproj_ffn_kernel(wo_kind, wo_sm, wo_sp, wo_mins, gu_kind, dn_kind,
     jax.jit,
     static_argnames=("wo_kind", "gu_kind", "dn_kind", "wo_keys", "gu_keys",
                      "dn_keys", "dim", "K", "F", "eps", "act_fn", "out_dtype",
-                     "interpret", "tko", "tf", "i8"),
+                     "interpret", "tko", "tf", "i8", "mxu"),
 )
 def _oproj_ffn_call(x2d, attn2d, norm_w, wo_arrays, gu_arrays, dn_arrays,
                     wo_kind, gu_kind, dn_kind, wo_keys, gu_keys, dn_keys,
                     dim, K, F, eps, act_fn, out_dtype, interpret, tko, tf,
-                    i8=False):
+                    i8=False, mxu=False):
     wo = dict(zip(wo_keys, wo_arrays))
     gu = dict(zip(gu_keys, gu_arrays))
     dn = dict(zip(dn_keys, dn_arrays))
@@ -669,7 +692,7 @@ def _oproj_ffn_call(x2d, attn2d, norm_w, wo_arrays, gu_arrays, dn_arrays,
 
     kernel = functools.partial(_oproj_ffn_kernel, wo_kind, wo_sm, wo_sp,
                                wo_mins, gu_kind, dn_kind, gu_sm, gu_sp,
-                               gu_mins, dn_sp, i8_wo, i8_gu,
+                               gu_mins, dn_sp, i8_wo, i8_gu, mxu,
                                dim, K, TKo2, nko, F, TF, nf, eps, act_fn)
     bytes_accessed = (
         sum(v.size * v.dtype.itemsize for v in wo.values())
@@ -741,7 +764,7 @@ def fused_oproj_ffn(
         tuple(dn.arrays[k] for k in dn_keys),
         wo.kind, gu.kind, dn.kind, wo_keys, gu_keys, dn_keys,
         dim, K, F, float(eps), act_fn, jnp.dtype(out_dtype).name, interpret,
-        tko, tf, i8=int8_folds_enabled(),
+        tko, tf, i8=int8_folds_enabled(), mxu=mxu_mins_enabled(),
     )
     return y.reshape(*lead, dim)
 
