@@ -63,14 +63,19 @@ def int8_folds_enabled() -> bool:
 
 def attn_in_int8_auto(ns_q4_max: int) -> bool:
     """Shape-aware int8-fold policy for the attention-input kernel (see
-    int8_folds_enabled docstring). ns_q4_max: widest q4 projection's N."""
+    int8_folds_enabled docstring). ns_q4_max: widest q4 projection's N.
+
+    r4: with the MXU-mins/f32-dot chain on, the dequant path beats the int8
+    folds at the 8B width that motivated the auto rule (same-session A/B:
+    33.1 us mxu vs 34.1 int8-auto on 8B attn_in), so 'auto' resolves to
+    False whenever mxu_mins_enabled(); TKQ_INT8_FOLDS=1 still forces them."""
     import os
 
     mode = os.environ.get("TKQ_INT8_FOLDS", "auto")
     if mode == "1":
         return True
     if mode == "auto":
-        return ns_q4_max >= 4096
+        return ns_q4_max >= 4096 and not mxu_mins_enabled()
     return False
 
 

@@ -795,8 +795,8 @@ def fused_oproj_ffn(
 
 
 def _rot_kernel(wo_kind, wo_sm, wo_sp, wo_mins, gu_kind, dn_kind, gu_sm,
-                gu_sp, gu_mins, dn_sp, specs2, dim, K, TKo2, nko, F, TF, nf,
-                TK2, nk2, half_rot, eps, act_fn, *refs):
+                gu_sp, gu_mins, dn_sp, mxu, specs2, dim, K, TKo2, nko, F,
+                TF, nf, TK2, nk2, half_rot, eps, act_fn, *refs):
     """specs2: per-next-weight (kind, has_sm, has_mins, has_sp)."""
     it = iter(refs)
     x_ref = next(it)
@@ -853,10 +853,12 @@ def _rot_kernel(wo_kind, wo_sm, wo_sp, wo_mins, gu_kind, dn_kind, gu_sm,
 
     def mm(x, w):
         return jax.lax.dot_general(
-            x, w.astype(jnp.bfloat16),
+            x, w if mxu else w.astype(jnp.bfloat16),
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+
+    a_dt = jnp.float32 if mxu else jnp.bfloat16
 
     # ---- phase A: o_proj K-chunk (fused_oproj_ffn phase A, dequant path) --
     @pl.when(j < nko)
@@ -869,10 +871,15 @@ def _rot_kernel(wo_kind, wo_sm, wo_sp, wo_mins, gu_kind, dn_kind, gu_sm,
                 else:
                     sc = wo_s[hi][:].astype(jnp.float32)
                     mn = wo_m[hi][:].astype(jnp.float32) if wo_m else None
-                a = (a_lo_ref if hi == 0 else a_hi_ref)[:].astype(jnp.bfloat16)
-                q = q4_codes_word(wo_qs[0][:], bool(hi)).astype(jnp.float32)
-                w = group_scale_mulsub(q, sc, mn, gw)
-                d = mm(a, w)
+                if mxu:
+                    a = (a_lo_ref if hi == 0 else a_hi_ref)[:].astype(jnp.float32)
+                    d = fold_dot_mxu(a, q4_codes_word(wo_qs[0][:], bool(hi)),
+                                     sc, mn, gw)
+                else:
+                    a = (a_lo_ref if hi == 0 else a_hi_ref)[:].astype(jnp.bfloat16)
+                    q = q4_codes_word(wo_qs[0][:], bool(hi)).astype(jnp.float32)
+                    w = group_scale_mulsub(q, sc, mn, gw)
+                    d = mm(a, w)
                 contrib = d if contrib is None else contrib + d
         else:
             contrib = None
@@ -884,7 +891,7 @@ def _rot_kernel(wo_kind, wo_sm, wo_sp, wo_mins, gu_kind, dn_kind, gu_sm,
                     w = group_scale_mulsub(
                         wo_qs[hi][:].astype(jnp.float32),
                         wo_s[hi][:].astype(jnp.float32), None, gw)
-                d = mm(a_ref[:].astype(jnp.bfloat16), w)
+                d = mm(a_ref[:].astype(a_dt), w)
                 contrib = d if contrib is None else contrib + d
         acc_x[:] = acc_x[:] + contrib
 
@@ -898,8 +905,9 @@ def _rot_kernel(wo_kind, wo_sm, wo_sp, wo_mins, gu_kind, dn_kind, gu_sm,
     def _():
         xf = x2_scr[:].astype(jnp.float32)
         var = jnp.mean(xf * xf, axis=-1, keepdims=True)
-        xn = (xf * jax.lax.rsqrt(var + eps) * nw_ref[:].astype(jnp.float32)
-              ).astype(jnp.bfloat16)
+        xn = xf * jax.lax.rsqrt(var + eps) * nw_ref[:].astype(jnp.float32)
+        if not mxu:
+            xn = xn.astype(jnp.bfloat16)
 
         def gu_matmul(qs_ref, s_ref, m_ref):
             g = GROUP_SIZE[gu_kind]
@@ -923,10 +931,17 @@ def _rot_kernel(wo_kind, wo_sm, wo_sp, wo_mins, gu_kind, dn_kind, gu_sm,
             out = None
             for hi in (False, True):
                 sl = slice(half_g, None) if hi else slice(0, half_g)
-                q = q4_codes_word(qs_ref[:], hi).astype(jnp.float32)
-                w = group_scale_mulsub(
-                    q, s_all[sl], m_all[sl] if m_all is not None else None, g)
-                d = mm(xn[:, dim // 2:] if hi else xn[:, : dim // 2], w)
+                if mxu:
+                    d = fold_dot_mxu(
+                        xn[:, dim // 2:] if hi else xn[:, : dim // 2],
+                        q4_codes_word(qs_ref[:], hi), s_all[sl],
+                        m_all[sl] if m_all is not None else None, g)
+                else:
+                    q = q4_codes_word(qs_ref[:], hi).astype(jnp.float32)
+                    w = group_scale_mulsub(
+                        q, s_all[sl],
+                        m_all[sl] if m_all is not None else None, g)
+                    d = mm(xn[:, dim // 2:] if hi else xn[:, : dim // 2], w)
                 out = d if out is None else out + d
             return out
 
@@ -937,6 +952,8 @@ def _rot_kernel(wo_kind, wo_sm, wo_sp, wo_mins, gu_kind, dn_kind, gu_sm,
         else:
             a = jax.nn.silu(gate) * up
         a = a.astype(jnp.bfloat16)
+        if mxu:
+            a = a.astype(jnp.float32)
 
         gd = GROUP_SIZE[dn_kind]
         if dn_sp:
@@ -963,8 +980,10 @@ def _rot_kernel(wo_kind, wo_sm, wo_sp, wo_mins, gu_kind, dn_kind, gu_sm,
         hi_off = dim // 2 + k2 * TK2
         nw_lo = nw2_ref[:, pl.ds(lo, TK2)].astype(jnp.float32)
         nw_hi = nw2_ref[:, pl.ds(hi_off, TK2)].astype(jnp.float32)
-        x_lo = (x3_scr[:, pl.ds(lo, TK2)] * rstd * nw_lo).astype(jnp.bfloat16)
-        x_hi = (x3_scr[:, pl.ds(hi_off, TK2)] * rstd * nw_hi).astype(jnp.bfloat16)
+        x_lo_f = x3_scr[:, pl.ds(lo, TK2)] * rstd * nw_lo
+        x_hi_f = x3_scr[:, pl.ds(hi_off, TK2)] * rstd * nw_hi
+        x_lo = x_lo_f if mxu else x_lo_f.astype(jnp.bfloat16)
+        x_hi = x_hi_f if mxu else x_hi_f.astype(jnp.bfloat16)
 
         for (kind, has_sm, has_mins, has_sp), (qs, s, m), a2 in zip(
                 specs2, wrefs2, accs2):
@@ -978,9 +997,14 @@ def _rot_kernel(wo_kind, wo_sm, wo_sp, wo_mins, gu_kind, dn_kind, gu_sm,
                         sc = s[hi][:].astype(jnp.float32)
                         mn = (m[hi][:].astype(jnp.float32)
                               if m is not None else None)
-                    q = q4_codes_word(qs[0][:], bool(hi)).astype(jnp.float32)
-                    w = group_scale_mulsub(q, sc, mn, g)
-                    d = mm(x_hi if hi else x_lo, w)
+                    if mxu:
+                        d = fold_dot_mxu(x_hi_f if hi else x_lo_f,
+                                         q4_codes_word(qs[0][:], bool(hi)),
+                                         sc, mn, g)
+                    else:
+                        q = q4_codes_word(qs[0][:], bool(hi)).astype(jnp.float32)
+                        w = group_scale_mulsub(q, sc, mn, g)
+                        d = mm(x_hi if hi else x_lo, w)
                     contrib = d if contrib is None else contrib + d
             else:
                 contrib = None
@@ -1156,8 +1180,8 @@ def _rot_call(x2d, attn2d, norm_w, norm_w2, wo_arrays, gu_arrays, dn_arrays,
 
     kernel = functools.partial(
         _rot_kernel, wo_kind, wo_sm, wo_sp, wo_mins, gu_kind, dn_kind, gu_sm,
-        gu_sp, gu_mins, dn_sp, tuple(specs2), dim, K, TKo2, nko, F, TF, nf,
-        TK2, nk2, half_rot, eps, act_fn)
+        gu_sp, gu_mins, dn_sp, mxu_mins_enabled(), tuple(specs2), dim, K,
+        TKo2, nko, F, TF, nf, TK2, nk2, half_rot, eps, act_fn)
     bytes_accessed = (
         sum(v.size * v.dtype.itemsize for v in wo.values())
         + sum(v.size * v.dtype.itemsize for v in gu.values())
