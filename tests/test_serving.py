@@ -139,3 +139,50 @@ def test_eos_stops_early(setup):
     cb.submit(Request(prompt=[3, 100, 7], max_new_tokens=8, eos_id=eos))
     done = cb.run()
     assert done[0].output == probe[:3]
+
+
+def test_chunked_run_matches_per_tick(setup):
+    """Multi-tick fused chunks (run max_chunk>1) must emit bit-identical
+    token streams to pure per-tick stepping — the chunk is the same tick
+    body chained in a lax.scan, with admissions only at chunk boundaries."""
+    cfg, params = setup
+
+    def drive(max_chunk):
+        eng = InferenceEngine(cfg, params, max_batch=2, max_seq=64,
+                              impl="xla")
+        cb = ContinuousBatcher(eng, seed=5)
+        reqs = [
+            Request(prompt=[3, 100, 7], max_new_tokens=9),
+            Request(prompt=[9, 300], max_new_tokens=4,
+                    temperature=0.9, top_k=20, seed=11),
+            Request(prompt=[17, 5, 11], max_new_tokens=7,
+                    temperature=0.7, repeat_penalty=1.2, seed=3),
+            Request(prompt=[250, 9], max_new_tokens=6),
+        ]
+        for r in reqs:
+            cb.submit(r)
+        done = sorted(cb.run(max_chunk=max_chunk), key=lambda r: r.rid)
+        return [r.output for r in done]
+
+    assert drive(8) == drive(1)
+
+
+def test_chunked_run_eos_truncates(setup):
+    """A chunk may decode past a request's eos; emitted output must still
+    stop at eos exactly as per-tick stepping does."""
+    cfg, params = setup
+
+    def drive(max_chunk):
+        eng = InferenceEngine(cfg, params, max_batch=2, max_seq=64,
+                              impl="xla")
+        cb = ContinuousBatcher(eng)
+        cb.submit(Request(prompt=[3, 100, 7], max_new_tokens=24, eos_id=None))
+        base = cb.run(max_chunk=max_chunk)[0].output
+        eos = base[5]  # force an eos mid-stream
+        eng2 = InferenceEngine(cfg, params, max_batch=2, max_seq=64,
+                               impl="xla")
+        cb2 = ContinuousBatcher(eng2)
+        cb2.submit(Request(prompt=[3, 100, 7], max_new_tokens=24, eos_id=eos))
+        return cb2.run(max_chunk=max_chunk)[0].output
+
+    assert drive(8) == drive(1)

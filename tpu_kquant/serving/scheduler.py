@@ -141,10 +141,15 @@ class ContinuousBatcher:
 
         recurrent = engine.cfg.is_recurrent
 
-        @partial(jax.jit, donate_argnums=(1, 2))
-        def _tick_fn(params, cache, st: _DevState):
-            """Fused serving tick: decode + logits merge + sampler chain in
-            ONE dispatch; no host operands, one [B] fetch back."""
+        def _tick_body(params, cache, st: _DevState, sampling: bool):
+            """One serving tick: decode + logits merge + sampler chain.
+
+            sampling=False is the all-greedy fast path: the r4 serving-tick
+            trace (artifacts/perf/trace_decode_r4_serving_ops.json) measured
+            sample_rows' two full-vocab sorts at ~470 us/tick at B=8 even
+            when every row is greedy — ~17%% of the tick. The host passes
+            sampling=True whenever any live request needs temperature or
+            penalties (one extra executable, not per-request recompiles)."""
             pre = cache
             logits, cache = engine._step(
                 params, st.toks[:, None], st.poss[:, None], cache, True
@@ -165,12 +170,17 @@ class ContinuousBatcher:
                     pre, cache)
             l = jnp.where(st.fresh[:, None], st.pending,
                           logits[:, 0, :].astype(jnp.float32))
-            l = apply_penalties_rows(l, st.counts, st.rps, st.pps, st.fps)
-            keys = jax.vmap(jax.random.fold_in)(st.base_keys, st.steps)
-            tok = sample_rows(l, keys, st.temps, st.top_ks, st.top_ps,
-                              st.min_ps)
-            pstate = update_penalty_state_rows(
-                (st.counts, st.window, st.widx, st.nfill), tok, st.last_ns)
+            if sampling:
+                l = apply_penalties_rows(l, st.counts, st.rps, st.pps, st.fps)
+                keys = jax.vmap(jax.random.fold_in)(st.base_keys, st.steps)
+                tok = sample_rows(l, keys, st.temps, st.top_ks, st.top_ps,
+                                  st.min_ps)
+                pstate = update_penalty_state_rows(
+                    (st.counts, st.window, st.widx, st.nfill), tok,
+                    st.last_ns)
+            else:
+                tok = jnp.argmax(l, axis=-1).astype(jnp.int32)
+                pstate = (st.counts, st.window, st.widx, st.nfill)
             st = st._replace(
                 toks=jnp.where(st.active, tok, st.toks),
                 poss=jnp.where(st.active & ~st.fresh, st.poss + 1, st.poss),
@@ -181,7 +191,31 @@ class ContinuousBatcher:
             )
             return tok, cache, st
 
+        @partial(jax.jit, donate_argnums=(1, 2), static_argnums=(3,))
+        def _tick_fn(params, cache, st: _DevState, sampling: bool = True):
+            """Fused serving tick: ONE dispatch, one [B] fetch back."""
+            return _tick_body(params, cache, st, sampling)
+
         self._tick_fn = _tick_fn
+
+        @partial(jax.jit, donate_argnums=(1, 2), static_argnums=(3, 4))
+        def _tick_n_fn(params, cache, st: _DevState, n: int, sampling: bool):
+            """n serving ticks fused into ONE on-device lax.scan dispatch —
+            the serving analog of the single-stream _decode_loop_sampled.
+            Used between admissions (queue empty, every slot's budget covers
+            n more tokens): the tunneled host pays ONE dispatch RTT per n*B
+            tokens instead of per B. Returns toks [n, B]."""
+
+            def body(carry, _):
+                cache, st = carry
+                tok, cache, st = _tick_body(params, cache, st, sampling)
+                return (cache, st), tok
+
+            (cache, st), toks = jax.lax.scan(
+                body, (cache, st), None, length=n)
+            return toks, cache, st
+
+        self._tick_n_fn = _tick_n_fn
 
         @partial(jax.jit, donate_argnums=(0,))
         def _admit_row(st: _DevState, b, row_logits, pos, base_key, temp,
@@ -230,10 +264,49 @@ class ContinuousBatcher:
 
         self._retire_row = _retire_row
 
+        @partial(jax.jit, donate_argnums=(3, 6))
+        def _prefill_admit(params, tokens, positions, cache, slot, kv_valid,
+                           st: _DevState, last_idx, pos, base_key, temp,
+                           top_k, top_p, min_p, rp, pp, fp, last_n, counts,
+                           window, widx, nfill):
+            """Admission fused to ONE dispatch: slot prefill + every per-slot
+            state field set, pending logits staying on device. Replaces the
+            prefill_slot + _admit_row dispatch pair (2 tunnel RTTs -> 1)."""
+            logits_row, cache = engine._prefill_slot(
+                params, tokens, positions, cache, slot, kv_valid)
+            st = _admit_row(st, slot, logits_row[last_idx].astype(jnp.float32),
+                            pos, base_key, temp, top_k, top_p, min_p, rp, pp,
+                            fp, last_n, counts, window, widx, nfill)
+            return cache, st
+
+        self._prefill_admit = _prefill_admit
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def _retire_rows(st: _DevState, mask):
+            """Batched retirement: every done slot cleared in ONE dispatch
+            (slots complete in waves under uniform loads — per-slot retire
+            dispatches were ~1/4 of the serving run's tunnel RTTs)."""
+            return st._replace(
+                active=jnp.where(mask, False, st.active),
+                temps=jnp.where(mask, 0.0, st.temps),
+                rps=jnp.where(mask, 1.0, st.rps),
+                pps=jnp.where(mask, 0.0, st.pps),
+                fps=jnp.where(mask, 0.0, st.fps),
+                last_ns=jnp.where(mask, 0, st.last_ns),
+                poss=jnp.where(mask, 0, st.poss),
+                toks=jnp.where(mask, 0, st.toks),
+            )
+
+        self._retire_rows = _retire_rows
+
         # observability (reference analog: llama-bench t/s tables + timers)
         self.stats = {
             "steps": 0, "prefills": 0, "tokens_out": 0, "tokens_in": 0,
             "wall_s": 0.0, "batch_occupancy_sum": 0,
+            # actual device dispatches (tick/chunk/prefill/admit/retire):
+            # the tunnel-RTT correction in tools_serve_bench needs the real
+            # count, which multi-tick chunks decouple from "steps"
+            "dispatches": 0,
         }
 
     def report(self) -> dict:
@@ -259,12 +332,87 @@ class ContinuousBatcher:
     def has_work(self) -> bool:
         return self.active > 0 or len(self.queue) > 0
 
-    def run(self, on_token: Callable[[Request, int], None] | None = None) -> list[Request]:
-        """Drain all submitted requests; returns them in completion order."""
+    def run(self, on_token: Callable[[Request, int], None] | None = None,
+            max_chunk: int = 32) -> list[Request]:
+        """Drain all submitted requests; returns them in completion order.
+
+        Between admissions, runs multi-tick fused chunks (step_chunk) so the
+        host dispatches once per up-to-``max_chunk`` ticks; token streams are
+        bit-identical to per-tick stepping (the chunk is the same tick body
+        chained in a lax.scan). max_chunk=1 restores pure per-tick."""
         while self.has_work():
             self.step(on_token)
+            n = self._safe_chunk(max_chunk)
+            if n >= 2:
+                self.step_chunk(n, on_token)
         out, self.finished = self.finished, []
         return out
+
+    def _sampling_live(self) -> bool:
+        """True if any active request needs the sampler chain (temperature
+        or penalties); all-greedy ticks then skip sample_rows' sorts."""
+        reqs = [s.req for s in self.slots if s.req is not None]
+        return any(
+            r.temperature > 0.0 or r.repeat_penalty != 1.0
+            or r.presence_penalty != 0.0 or r.frequency_penalty != 0.0
+            for r in reqs)
+
+    def _safe_chunk(self, max_chunk: int) -> int:
+        """Largest power-of-2 tick count that cannot overrun any slot's
+        budget or KV room. Bounded by the EARLIEST possible completion
+        across active slots, so a chunk ends exactly when a slot could
+        free — queued requests are admitted then, never later than under
+        per-tick stepping, and occupancy never idles inside a chunk.
+        Requests with an eos_id cap the chunk at 4 (tokens past eos inside
+        a chunk are discarded on emit, so a long chunk only wastes compute
+        — the cap bounds that waste)."""
+        if self.active == 0:
+            return 0
+        lim = max_chunk
+        for slot in self.slots:
+            req = slot.req
+            if req is None:
+                continue
+            lim = min(lim,
+                      req.max_new_tokens - len(req.output),
+                      self.engine.max_seq - 1 - slot.pos)
+            if req.eos_id is not None:
+                lim = min(lim, 4)
+        n = 1
+        while n * 2 <= lim:
+            n *= 2
+        return n
+
+    def step_chunk(self, n: int, on_token=None) -> None:
+        """Run n fused ticks in ONE dispatch (no admissions in between)."""
+        import time as _time
+
+        t_start = _time.time()
+        occupancy = self.active
+        tok_dev, self.cache, self.state = self._tick_n_fn(
+            self.engine.params, self.cache, self.state, n,
+            self._sampling_live())
+        self.stats["dispatches"] += 1
+        sampled = np.asarray(tok_dev)  # [n, B]; the chunk's only host sync
+        for j in range(n):
+            for b, slot in enumerate(self.slots):
+                req = slot.req
+                if req is None or req.done:
+                    continue
+                slot.pos += 1
+                self._emit(req, int(sampled[j, b]), on_token)
+        to_retire = []
+        for b, slot in enumerate(self.slots):
+            req = slot.req
+            if req is None:
+                continue
+            if req.done or slot.pos + 1 >= self.engine.max_seq:
+                req.done = True
+                to_retire.append(b)
+        self._do_retire_batch(to_retire)
+        self.stats["steps"] += n
+        self.stats["batch_occupancy_sum"] += occupancy * n
+        self.stats["wall_s"] += _time.time() - t_start
 
     # -- one scheduler tick ----------------------------------------------------
     def step(self, on_token=None) -> None:
@@ -277,14 +425,11 @@ class ContinuousBatcher:
         for b, slot in enumerate(self.slots):
             if slot.req is None and self.queue:
                 req = self.queue.popleft()
-                row_logits, self.cache = self.engine.prefill_slot(
-                    req.prompt, self.cache, b
-                )
                 self.stats["prefills"] += 1
                 self.stats["tokens_in"] += len(req.prompt)
                 slot.req = req
                 slot.pos = len(req.prompt)
-                self._admit(b, req, row_logits)
+                self._admit(b, req)
                 fresh[b] = True
         if self.active == 0:
             return
@@ -292,11 +437,13 @@ class ContinuousBatcher:
         # 2. ONE fused decode+sample dispatch; fresh rows' dummy decode at
         # slot.pos is overwritten by the real decode there next tick
         tok_dev, self.cache, self.state = self._tick_fn(
-            self.engine.params, self.cache, self.state
+            self.engine.params, self.cache, self.state, self._sampling_live()
         )
+        self.stats["dispatches"] += 1
         sampled = np.asarray(tok_dev)  # the tick's only host sync
 
         # 3. emit / retire
+        to_retire = []
         for b, slot in enumerate(self.slots):
             req = slot.req
             if req is None:
@@ -307,7 +454,8 @@ class ContinuousBatcher:
             self._emit(req, tok, on_token)
             if req.done or slot.pos + 1 >= self.engine.max_seq:
                 req.done = True
-                self._do_retire(b)
+                to_retire.append(b)
+        self._do_retire_batch(to_retire)
         self.stats["steps"] += 1
         self.stats["batch_occupancy_sum"] += sum(
             s.req is not None for s in self.slots
@@ -315,7 +463,7 @@ class ContinuousBatcher:
         self.stats["wall_s"] += _time.time() - t_start
 
     # -- helpers ---------------------------------------------------------------
-    def _admit(self, b: int, req: Request, row_logits) -> None:
+    def _admit(self, b: int, req: Request) -> None:
         uses_pen = (
             req.repeat_penalty != 1.0
             or req.presence_penalty != 0.0
@@ -323,6 +471,11 @@ class ContinuousBatcher:
         ) and req.penalty_last_n > 0
         last_n = req.penalty_last_n if uses_pen else 0
         seed = req.seed if req.seed is not None else self._seed + 7919 * req.rid
+        # threefry2x32 key layout [seed>>32, seed&0xffffffff] built on HOST:
+        # jax.random.PRNGKey dispatches on device, and fetching it back for
+        # re-upload cost a full tunnel RTT per admission (measured ~26 ms)
+        base_key = np.array([(seed >> 32) & 0xFFFFFFFF, seed & 0xFFFFFFFF],
+                            np.uint32)
         # penalty window primed from the prompt tail (llama.cpp semantics)
         W = self.PENALTY_WINDOW_CAP
         counts = np.zeros(self.engine.cfg.vocab_size, np.int32)
@@ -335,10 +488,27 @@ class ContinuousBatcher:
             window[: len(tail)] = tail
             widx = len(tail) % last_n
             nfill = len(tail)
-        self.state = self._admit_row(
-            self.state, jnp.int32(b), row_logits.astype(jnp.float32),
-            jnp.int32(len(req.prompt)),
-            jnp.asarray(np.asarray(jax.random.PRNGKey(seed))),
+        from tpu_kquant.runtime.engine import _bucket
+
+        eng = self.engine
+        if eng.kv_layout != "unified":
+            raise NotImplementedError(
+                "slot prefill requires the unified KV layout")
+        if len(req.prompt) > eng.max_seq:
+            raise ValueError(
+                f"prompt length {len(req.prompt)} exceeds max_seq "
+                f"{eng.max_seq}")
+        T = min(_bucket(len(req.prompt)), eng.max_seq)
+        toks = np.zeros((1, T), np.int32)
+        toks[0, : len(req.prompt)] = req.prompt
+        positions = np.arange(T, dtype=np.int32)[None, :]
+        valid = positions < len(req.prompt)
+        self.stats["dispatches"] += 1
+        self.cache, self.state = self._prefill_admit(
+            eng.params, jnp.asarray(toks), jnp.asarray(positions),
+            self.cache, jnp.int32(b), jnp.asarray(valid), self.state,
+            jnp.int32(len(req.prompt) - 1), jnp.int32(len(req.prompt)),
+            jnp.asarray(base_key),
             jnp.float32(req.temperature), jnp.int32(req.top_k),
             jnp.float32(req.top_p), jnp.float32(req.min_p),
             jnp.float32(req.repeat_penalty), jnp.float32(req.presence_penalty),
@@ -356,8 +526,17 @@ class ContinuousBatcher:
             req.done = True
 
     def _do_retire(self, b: int):
-        req = self.slots[b].req
-        self.slots[b] = _Slot()
-        self.state = self._retire_row(self.state, jnp.int32(b))
-        if req is not None:
-            self.finished.append(req)
+        self._do_retire_batch([b])
+
+    def _do_retire_batch(self, bs: list[int]):
+        if not bs:
+            return
+        mask = np.zeros(self.B, bool)
+        for b in bs:
+            req = self.slots[b].req
+            self.slots[b] = _Slot()
+            mask[b] = True
+            if req is not None:
+                self.finished.append(req)
+        self.stats["dispatches"] += 1
+        self.state = self._retire_rows(self.state, jnp.asarray(mask))
