@@ -150,17 +150,26 @@ def main():
         c, _ = jax.lax.scan(body, jnp.float32(0), None, length=n)
         return c
 
-    PP_N = 2
+    PP_N = 6
 
     def pp_marginal(toks) -> float:
-        """Seconds per prefill, dispatch overhead cancelled."""
-        t0 = time.time()
-        float(_pp_chain(eng.params, toks, PP_N))
-        t1 = time.time() - t0
-        t0 = time.time()
-        float(_pp_chain(eng.params, toks, 2 * PP_N))
-        t2 = time.time() - t0
-        return max(t2 - t1, 1e-9) / PP_N
+        """Seconds per prefill, dispatch overhead cancelled.
+
+        r4 estimator hardening (r3 verdict: "the pp estimator is the least
+        trustworthy number in the bench" — rep-collapse at PP_N=2, where the
+        chain difference ~2 prefills was the same order as the tunnel's
+        per-dispatch jitter): chains of 6 vs 12 prefills, each timed 3x with
+        the MIN taken (positive-jitter robust, same policy as
+        utils.attribution.time_chained), differenced once."""
+        t1s, t2s = [], []
+        for _ in range(3):
+            t0 = time.time()
+            float(_pp_chain(eng.params, toks, PP_N))
+            t1s.append(time.time() - t0)
+            t0 = time.time()
+            float(_pp_chain(eng.params, toks, 2 * PP_N))
+            t2s.append(time.time() - t0)
+        return max(min(t2s) - min(t1s), 1e-9) / PP_N
 
     # --- compile warmup, EXCLUDED from stats (reference README.md:190-196
     # reports mean±σ over timed reps only; rep 0 with compile would be junk).

@@ -43,6 +43,9 @@ def main():
     ap.add_argument("--prompt-len", type=int, default=64)
     ap.add_argument("--serving", action="store_true",
                     help="also trace one serving scheduler tick at B=8")
+    ap.add_argument("--prefill", type=int, default=0,
+                    help="trace ONE prefill of this many tokens instead of "
+                         "the decode loop")
     ap.add_argument("--out-prefix", default="artifacts/perf/trace_decode")
     ap.add_argument("--top", type=int, default=40)
     args = ap.parse_args()
@@ -58,32 +61,46 @@ def main():
     log(f"loaded {cfg.arch} L={cfg.n_layers}")
 
     rng = np.random.default_rng(0)
-    toks = [list(rng.integers(10, cfg.vocab_size - 10, args.prompt_len))]
-    cache = eng.new_cache(1)
-    logits, cache, lens = eng.prefill(toks, cache)
-    first = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-    pos = jnp.asarray(lens)
+    if args.prefill:
+        # warm the prefill bucket, then trace ONE prefill dispatch
+        toks = [list(rng.integers(10, cfg.vocab_size - 10, args.prefill))]
+        cache = eng.new_cache(1)
+        logits, cache, _ = eng.prefill(toks, cache)
+        float(jnp.sum(logits))
+        cache = eng.new_cache(1)
+        tdir = tempfile.mkdtemp(prefix="tkq_trace_pp_")
+        with jax.profiler.trace(tdir):
+            logits, cache, _ = eng.prefill(toks, cache)
+            float(jnp.sum(logits))
+        n_steps = 1
+    else:
+        toks = [list(rng.integers(10, cfg.vocab_size - 10, args.prompt_len))]
+        cache = eng.new_cache(1)
+        logits, cache, lens = eng.prefill(toks, cache)
+        first = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        pos = jnp.asarray(lens)
 
-    # warm the decode loop executable OUTSIDE the trace
-    out, cache = eng.decode_greedy_jit(first, pos, cache, args.steps)
-    float(jnp.sum(out))
-
-    tdir = tempfile.mkdtemp(prefix="tkq_trace_")
-    with jax.profiler.trace(tdir):
-        out, cache = eng.decode_greedy_jit(first, pos + args.steps, cache,
-                                           args.steps)
+        # warm the decode loop executable OUTSIDE the trace
+        out, cache = eng.decode_greedy_jit(first, pos, cache, args.steps)
         float(jnp.sum(out))
 
+        tdir = tempfile.mkdtemp(prefix="tkq_trace_")
+        with jax.profiler.trace(tdir):
+            out, cache = eng.decode_greedy_jit(first, pos + args.steps, cache,
+                                               args.steps)
+            float(jnp.sum(out))
+        n_steps = args.steps
+
     rows, total = device_op_table(tdir, top=0)
-    per_step = {"steps": args.steps, "total_device_us": round(total, 1),
-                "us_per_step": round(total / args.steps, 1)}
-    log(f"device total {total:.1f} us over {args.steps} steps "
-        f"= {total/args.steps:.1f} us/step")
+    per_step = {"steps": n_steps, "total_device_us": round(total, 1),
+                "us_per_step": round(total / n_steps, 1)}
+    log(f"device total {total:.1f} us over {n_steps} steps "
+        f"= {total/n_steps:.1f} us/step")
     table = []
     for n, us, c in rows[: args.top]:
-        log(f"{us:9.1f} us  x{c:5d}  {us/args.steps:7.2f}/step  {n[:90]}")
+        log(f"{us:9.1f} us  x{c:5d}  {us/n_steps:7.2f}/step  {n[:90]}")
         table.append({"op": n[:200], "us": round(us, 1), "count": c,
-                      "us_per_step": round(us / args.steps, 2)})
+                      "us_per_step": round(us / n_steps, 2)})
 
     prefix = Path(args.out_prefix)
     prefix.parent.mkdir(parents=True, exist_ok=True)

@@ -161,17 +161,28 @@ def _dot_f32(x, w):
 
 
 def fold_dot_mxu(x_f32, codes_i8, s, m, g: int,
-                 t_f32=None) -> jnp.ndarray:
+                 t_f32=None, feed_bf16: bool = False) -> jnp.ndarray:
     """One fold's [R, TN] f32 partial via the mxu_mins_enabled chain:
     per-code work is convert + scale-mul only; the min term rides the MXU.
 
     x_f32: [R, TK] f32 activation chunk; codes_i8: [TK, TN]; s/m:
     [TK/g, TN] f32 (m may be None); t_f32: optional precomputed
-    [R, TK/g] per-group activation sums (else derived here via G)."""
+    [R, TK/g] per-group activation sums (else derived here via G).
+
+    feed_bf16: cast the main dot's operands to bf16 explicitly. At decode
+    rows (R<=32, HBM-bound, MXU idle) f32 feeds are strictly cheaper (the
+    MXU rounds internally, skipping a full VPU cast pass — measured r4);
+    at prefill rows (R>=256, MXU-bound) f32 operand feeds HALVE the
+    effective MXU rate (same-session R=512 gu A/B: 197.6 us f32 feeds vs
+    153.5 baseline), so MXU-bound callers pass feed_bf16=True and pay the
+    cast to keep the systolic array at full bf16 ingest rate."""
     TK, TN = codes_i8.shape
     qf = codes_i8.astype(jnp.float32)
     w = (qf.reshape(TK // g, g, TN) * s[:, None, :]).reshape(TK, TN)
-    d = _dot_f32(x_f32, w)
+    if feed_bf16:
+        d = _dot_f32(x_f32.astype(jnp.bfloat16), w.astype(jnp.bfloat16))
+    else:
+        d = _dot_f32(x_f32, w)
     if m is not None:
         t = t_f32 if t_f32 is not None else _dot_f32(x_f32, group_gmat(TK, g))
         d = d - _dot_f32(t, m)

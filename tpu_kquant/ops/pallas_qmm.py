@@ -29,8 +29,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from tpu_kquant.ops.pallas_dequant import (
+    fold_dot_mxu,
     group_scale_mul_sp,
     group_scale_mulsub,
+    mxu_mins_enabled,
     q4_codes_word,
 )
 from tpu_kquant.quant.qtensor import QTensor
@@ -96,7 +98,7 @@ def _codes_for_fold(kind, qs, qh, a, K, hi_fold):
 
 
 def _qmm_kernel(kind, g, K, TK2, nk, has_qh, has_mins, has_hi, has_sm,
-                has_sp, *refs):
+                has_sp, mxu, *refs):
     it = iter(refs)
     x_lo = next(it)
     x_hi = next(it) if has_hi else None
@@ -125,7 +127,24 @@ def _qmm_kernel(kind, g, K, TK2, nk, has_qh, has_mins, has_hi, has_sm,
 
     def half(x_ref, s_ref, m_ref, hi_fold):
         if kind == "q4":
-            q = q4_codes_word(qs_ref[:], hi_fold).astype(jnp.float32)
+            codes = q4_codes_word(qs_ref[:], hi_fold)
+            if mxu:
+                # MXU-mins/f32-dot chain (pallas_dequant.mxu_mins_enabled):
+                # same-session prefill A/B at R=512 gu shapes measured
+                # 152.7 -> 136-ish us together with tb=512 (the VPU dequant
+                # serializes with the MXU — no in-kernel overlap)
+                if has_sm:
+                    bits = jax.lax.bitcast_convert_type(s_ref[:], jnp.int32)
+                    s = jax.lax.bitcast_convert_type(bits << 16, jnp.float32)
+                    m = jax.lax.bitcast_convert_type(
+                        bits & jnp.int32(-65536), jnp.float32)
+                else:
+                    s = s_ref[:].astype(jnp.float32)
+                    m = (m_ref[:].astype(jnp.float32)
+                         if m_ref is not None else None)
+                return fold_dot_mxu(x_ref[:].astype(jnp.float32), codes,
+                                    s, m, g)
+            q = codes.astype(jnp.float32)
         else:
             q = _codes_for_fold(kind, qs, qh, a, K, hi_fold).astype(jnp.float32)
         if has_sp:
@@ -186,7 +205,10 @@ def _qmm_call(x2d, arrays_tuple, kind, shape, keys, out_dtype, interpret, tn, tb
     else:  # q4
         max_tk2 = K // 2
 
-    TK2 = _pow2_divisor(max_tk2, _TK_DEFAULT)
+    # prefill rows: full-depth K blocks measured best (r4 same-session
+    # R=512 gu sweep: TK=1024 139 us / 86%% MXU vs TK=512 153 / 78%%);
+    # decode keeps 512 (520 -> 543 t/s r3 measurement)
+    TK2 = _pow2_divisor(max_tk2, _TK_PREFILL if B > 32 else _TK_DEFAULT)
     TK2 = max(TK2, g)  # at least one scale group
     # partial edge blocks are handled by pallas (masked); do NOT shrink TN
     # to divide N — small tiles multiply grid steps and per-step overhead.
@@ -252,7 +274,12 @@ def _qmm_call(x2d, arrays_tuple, kind, shape, keys, out_dtype, interpret, tn, tb
 
     kernel = functools.partial(
         _qmm_kernel, kind, g, K, TK2, nk, has_qh, has_mins, has_hi, has_sm,
-        has_sp,
+        # MXU-mins chain only at decode rows: at R>=256 the mins ride
+        # tiny-N / 16-deep MXU passes whose padding wastes ~25%% of the
+        # now-busy MXU (same-session R=512 gu A/B: 197.6-198.6 us with
+        # either f32 or bf16 feeds vs 153.5 with the classic chain, whose
+        # per-code VPU cost is already amortized over the row block)
+        has_sp, kind == "q4" and B <= 32 and mxu_mins_enabled(),
     )
     bytes_accessed = (
         sum(v.size * v.dtype.itemsize for v in a.values()) + 2 * B * K + 4 * B * N
@@ -278,7 +305,14 @@ def _qmm_call(x2d, arrays_tuple, kind, shape, keys, out_dtype, interpret, tn, tb
                 allow_input_fusion=[i < (2 if has_hi else 1)
                                     for i in range(len(inputs))]
             )
-            if _FUSE_X and not interpret else None
+            if _FUSE_X and not interpret else (
+                # prefill shapes: the f32 x/w temporaries of the mxu chain
+                # overflow the 16 MB scoped default by ~0.1 MB at R=512;
+                # decode (B<=32) keeps Mosaic's defaults, which measured
+                # better there (see NOTE above)
+                pltpu.CompilerParams(vmem_limit_bytes=48 * 1024 * 1024)
+                if B > 32 and not interpret else None
+            )
         ),
         interpret=interpret,
     )(*inputs)
@@ -294,6 +328,7 @@ _FUSE_X = os.environ.get("TKQ_FUSE_X", "0") == "1"
 # 512 halves the K-grid depth vs 256 (fewer per-step fixed costs; ffn_down's
 # K=5632 = 512*11 divides exactly): tg128 520 -> 543 t/s measured on v5e
 _TK_DEFAULT = int(os.environ.get("TKQ_TK", "512"))
+_TK_PREFILL = int(os.environ.get("TKQ_TK_PREFILL", "1024"))
 
 
 def qmm_pallas(
@@ -302,7 +337,8 @@ def qmm_pallas(
     out_dtype=None,
     interpret: bool = False,
     tn: int | None = None,
-    tb: int = 256,
+    tb: int = 512,  # r4 same-session sweep at R=512 gu: tb=512 78.5%% MXU
+    #                 vs 72.9%% at the old 256 (one fewer weight refetch pass)
 ) -> jnp.ndarray:
     """Fused y = x @ dequant(W)^T. x: [..., K]; returns [..., N]."""
     tn = tn or _TN_DEFAULT
