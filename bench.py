@@ -59,6 +59,9 @@ def main():
     ap.add_argument("--reps", type=int, default=5,
                     help="timed repetitions (compile warmup excluded; "
                          "mean±σ + median reported, reference README style)")
+    ap.add_argument("--scan-layers", action="store_true",
+                    help="lax.scan over stacked layers (one compiled layer "
+                         "instead of L inlined copies; the 70B-class config)")
     ap.add_argument("--no-smoke", action="store_true",
                     help="skip the pre-bench kernel compile smoke")
     args = ap.parse_args()
@@ -67,7 +70,7 @@ def main():
 
     # persistent compile cache: first run pays ~10 min of XLA/Mosaic AOT
     # compiles (512-token prefill over 22 layers); reruns skip it
-    cc_dir = REPO / ".cache" / "jax_cc"
+    cc_dir = Path(os.environ.get("TKQ_JAX_CC", REPO / ".cache" / "jax_cc"))
     cc_dir.mkdir(parents=True, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", str(cc_dir))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -113,7 +116,10 @@ def main():
 
     B = args.batch
     max_seq = min(cfg.max_seq_len, args.pp + args.tg + 64)
-    eng = InferenceEngine(cfg, params, max_batch=B, max_seq=max_seq, impl=args.impl)
+    eng = InferenceEngine(cfg, params, max_batch=B, max_seq=max_seq,
+                          impl=args.impl, scan_layers=args.scan_layers)
+    if args.scan_layers:
+        params = eng.params  # stacked by the engine; _pp_chain shares them
 
     rng = np.random.default_rng(0)
 
@@ -135,20 +141,40 @@ def main():
 
     from tpu_kquant.models.llama import llama_forward as _fwd
 
-    @_partial(jax.jit, static_argnums=(2,))
+    @jax.jit
     def _pp_chain(params, toks, n):
+        """n is TRACED (fori_loop): chains of every length share ONE
+        executable — the r3 bench compiled the scan body twice (n and 2n).
+        (Carrying the last cache/logits out to also replace the prefill
+        executable was measured WORSE cold: the cache-carrying fori compiled
+        in 35.2 s vs 12.9 + 14.1 for chain + prefill separately.)"""
         positions = jnp.broadcast_to(
             jnp.arange(toks.shape[1], dtype=jnp.int32), toks.shape)
 
-        def body(c, _):
+        def body(_i, c):
             t = toks - (c.astype(jnp.int32) & 1)
             cache = eng.new_cache(B)
             logits, _ = _fwd(params, cfg, t, positions, cache, impl=args.impl,
                              logits_last_only=True)
-            return jnp.sum(logits[:, -1, :100]), ()
+            return jnp.sum(logits[:, -1, :100])
 
-        c, _ = jax.lax.scan(body, jnp.float32(0), None, length=n)
-        return c
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0))
+
+    @_partial(jax.jit, donate_argnums=(3,))
+    def _tg_chain(params, tok, pos, cache, n):
+        """Traced-length greedy decode chain (fori_loop): both marginal
+        lengths (tg/2, tg) share ONE executable, vs two lax.scan compiles
+        of engine.decode_greedy_jit in the r3 bench (~15 s cold)."""
+
+        def body(_i, carry):
+            tok, pos, cache = carry
+            logits, cache = eng._step(params, tok[:, None], pos[:, None],
+                                      cache, True)
+            ntok = jnp.argmax(logits[:, 0, :], axis=-1).astype(jnp.int32)
+            return ntok, pos + 1, cache
+
+        tok, pos, cache = jax.lax.fori_loop(0, n, body, (tok, pos, cache))
+        return tok, pos, cache
 
     PP_N = 6
 
@@ -174,27 +200,34 @@ def main():
     # --- compile warmup, EXCLUDED from stats (reference README.md:190-196
     # reports mean±σ over timed reps only; rep 0 with compile would be junk).
     # Compiles: prefill bucket, both decode-loop lengths.
+    # the three big executables (prefill forward, pp chain, tg chain)
+    # compile CONCURRENTLY — the remote AOT compiler overlaps requests
+    # (measured r4: 2 threaded compiles in 1.5x one serial) and the tg
+    # chain warms on a throwaway cache so it needs nothing from prefill
     warm_prompt = rng.integers(10, cfg.vocab_size, args.pp).tolist()
-    cache = eng.new_cache(B)
-    jax.block_until_ready(cache)
+    box: dict = {}
+    warm_toks = jnp.asarray(
+        rng.integers(10, cfg.vocab_size, (B, args.pp)), jnp.int32)
+
+    # Three executables, traced-length chains (r3 compiled five: prefill,
+    # chain n, chain 2n, two decode scans -> 44.2 s cold). Order matters:
+    # compiling the plain prefill FIRST warms in-process compiler state
+    # that makes the pp chain ~3x cheaper (measured: pp chain alone cold
+    # 40.7-47.5 s; after the prefill compile, 12.9 s).
     t0 = time.time()
+    cache = eng.new_cache(B)
     logits, cache, lens = eng.prefill([warm_prompt] * B, cache)
     _sync(logits)
     log(f"warmup prefill (incl. compile): {time.time() - t0:.1f}s")
     t0 = time.time()
-    warm_toks = jnp.asarray(
-        rng.integers(10, cfg.vocab_size, (B, args.pp)), jnp.int32)
     float(_pp_chain(eng.params, warm_toks, PP_N))
-    float(_pp_chain(eng.params, warm_toks, 2 * PP_N))
-    log(f"warmup pp chains (incl. compile): {time.time() - t0:.1f}s")
+    log(f"warmup pp chain (incl. compile): {time.time() - t0:.1f}s")
     tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     pos = jnp.asarray(lens)
     t0 = time.time()
-    toks, cache = eng.decode_greedy_jit(tok, pos, cache, half)
-    _sync(toks)
-    toks, cache = eng.decode_greedy_jit(toks[:, -1], pos + half, cache, args.tg)
-    _sync(toks)
-    log(f"warmup decode loops (incl. compile): {time.time() - t0:.1f}s")
+    tok, pos, cache = _tg_chain(eng.params, tok, pos, cache, half)
+    _sync(tok)
+    log(f"warmup decode chain (incl. compile): {time.time() - t0:.1f}s")
 
     results = {}
     for rep in range(args.reps):
@@ -205,7 +238,8 @@ def main():
 
         # --- pp: marginal rate over chained prefills (llama-bench
         # test_prompt equivalent; dispatch RTT cancelled like tg below) ---
-        pp_dt = pp_marginal(jnp.asarray(np.array(rows, np.int32)))
+        toks_dev = jnp.asarray(np.array(rows, np.int32))
+        pp_dt = pp_marginal(toks_dev)
         pp_tps = args.pp * B / pp_dt
         # the tg prefix still needs a real prefill into the decode cache
         cache = eng.new_cache(B)
@@ -224,13 +258,12 @@ def main():
         tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         pos = jnp.asarray(lens)
         t0 = time.time()
-        toks, cache = eng.decode_greedy_jit(tok, pos, cache, half)
-        _sync(toks)
+        tok, pos, cache = _tg_chain(eng.params, tok, pos, cache, half)
+        _sync(tok)
         t1 = time.time() - t0
         t0 = time.time()
-        toks, cache = eng.decode_greedy_jit(
-            toks[:, -1], pos + half, cache, args.tg)
-        _sync(toks)
+        tok, pos, cache = _tg_chain(eng.params, tok, pos, cache, args.tg)
+        _sync(tok)
         t2 = time.time() - t0
         tg_wall = args.tg * B / t2
         tg_tps = (args.tg - half) * B / max(t2 - t1, 1e-9)
