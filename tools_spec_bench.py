@@ -1,0 +1,161 @@
+#!/usr/bin/env python
+"""Speculative-decoding benchmark on the real TPU (VERDICT r3 #7: measure it
+or demote it).
+
+Draft models are derived from the target fixture itself (zero-egress, no
+trained pair available): a LAYER-TRUNCATED draft (the self-speculative /
+early-exit family — first k of L layers + the target's own head) and, as the
+acceptance=1.0 upper bound, the target as its own draft. Acceptance with the
+SYNTHETIC fixture's random weights is a worst case for the truncated drafts
+(real checkpoints correlate early layers with the final head far more), so
+the table brackets reality: measured worst-case acceptance below, exact
+alpha=1.0 machinery overhead above.
+
+The loop is host-driven (2 blocking fetches per round over the ~23 ms
+tunnel), so wall rates are tunnel-bound; the corrected column subtracts the
+measured RTT per blocking fetch, same methodology as tools_serve_bench.
+
+  python tools_spec_bench.py --drafts 4 8 self --n-draft 6
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+import time
+from functools import partial
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", str(REPO / ".cache" / "jax_cc"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def measure_rtt(reps: int = 20) -> float:
+    f = jax.jit(lambda x: x + 1)
+    x = jnp.zeros((8,), jnp.float32)
+    float(jnp.sum(f(x)))
+    ts = []
+    for _ in range(reps):
+        t0 = time.time()
+        float(jnp.sum(f(x)))
+        ts.append(time.time() - t0)
+    return float(np.median(ts))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default=None)
+    ap.add_argument("--drafts", nargs="+", default=["4", "8", "self"],
+                    help="draft configs: layer counts and/or 'self'")
+    ap.add_argument("--n-draft", type=int, default=6)
+    ap.add_argument("--gen", type=int, default=96)
+    ap.add_argument("--prompt-len", type=int, default=64)
+    ap.add_argument("--json-out", default="")
+    args = ap.parse_args()
+
+    from bench import get_fixture
+    from tpu_kquant.models.fixtures import tinyllama_1b_config
+    from tpu_kquant.runtime import InferenceEngine, load_model
+    from tpu_kquant.runtime.speculative import generate_speculative
+
+    model_path = args.model or get_fixture("tinyllama-1.1b-q4_k_m",
+                                           tinyllama_1b_config())
+    cfg, params, _ = load_model(model_path, scale_dtype="bf16")
+    log(f"devices: {jax.devices()}  arch={cfg.arch} L={cfg.n_layers}")
+    rtt = measure_rtt()
+    log(f"dispatch RTT: {rtt*1e3:.1f} ms")
+
+    max_seq = args.prompt_len + args.gen + args.n_draft + 16
+    target = InferenceEngine(cfg, params, max_batch=1, max_seq=max_seq)
+    rng = np.random.default_rng(0)
+    prompt = rng.integers(10, cfg.vocab_size - 10, args.prompt_len).tolist()
+
+    def sync(x):
+        return float(jnp.sum(x.astype(jnp.float32)))
+
+    # plain greedy baseline: marginal device time per token (fused chain)
+    @partial(jax.jit, donate_argnums=(3,))
+    def tg_chain(p, tok, pos, cache, n):
+        def body(_i, carry):
+            tok, pos, cache = carry
+            logits, cache = target._step(p, tok[:, None], pos[:, None],
+                                         cache, True)
+            return (jnp.argmax(logits[:, 0, :], axis=-1).astype(jnp.int32),
+                    pos + 1, cache)
+        return jax.lax.fori_loop(0, n, body, (tok, pos, cache))
+
+    cache = target.new_cache(1)
+    tok = jnp.zeros((1,), jnp.int32)
+    pos = jnp.full((1,), args.prompt_len, jnp.int32)
+    tok, pos, cache = tg_chain(target.params, tok, pos, cache, 4)
+    sync(tok)
+    t0 = time.time()
+    tok, pos, cache = tg_chain(target.params, tok, pos, cache, 32)
+    sync(tok)
+    t1 = time.time() - t0
+    t0 = time.time()
+    tok, pos, cache = tg_chain(target.params, tok, pos, cache, 64)
+    sync(tok)
+    t2 = time.time() - t0
+    plain_per_tok = max(t2 - t1, 1e-9) / 32
+    log(f"plain greedy decode: {plain_per_tok*1e6:.0f} us/tok device "
+        f"({1/plain_per_tok:.1f} t/s)")
+
+    rows = [{"config": "plain", "tok_s_device": round(1 / plain_per_tok, 1)}]
+    for d in args.drafts:
+        if d == "self":
+            d_cfg, d_params, label = cfg, params, "self (alpha=1 bound)"
+        else:
+            k = int(d)
+            d_cfg = dataclasses.replace(cfg, n_layers=k)
+            d_params = {**params, "layers": params["layers"][:k]}
+            label = f"truncated-{k}L"
+        draft = InferenceEngine(d_cfg, d_params, max_batch=1, max_seq=max_seq)
+        # warm both executables
+        generate_speculative(target, draft, [prompt], max_new_tokens=4,
+                             n_draft=args.n_draft)
+        t0 = time.time()
+        out, stats = generate_speculative(
+            target, draft, [prompt], max_new_tokens=args.gen,
+            n_draft=args.n_draft)
+        wall = time.time() - t0
+        ntok = len(out[0])
+        acc = stats["accepted"] / max(stats["drafted"], 1)
+        # 2 blocking fetches per round + 2 prefill dispatches
+        corrected = max(wall - (2 * stats["rounds"] + 2) * rtt, wall * 0.05)
+        row = {
+            "config": label, "n_draft": args.n_draft, "tokens": ntok,
+            "rounds": stats["rounds"], "acceptance": round(acc, 3),
+            "tokens_per_round": round(ntok / max(stats["rounds"], 1), 2),
+            "tok_s_wall": round(ntok / wall, 1),
+            "tok_s_rtt_corrected": round(ntok / corrected, 1),
+            "speedup_vs_plain_device": round(
+                (ntok / corrected) * plain_per_tok, 2),
+        }
+        log(f"{label:22s} acceptance {acc:.2f}  {row['tokens_per_round']:.2f} "
+            f"tok/round  {row['tok_s_wall']:7.1f} t/s wall  "
+            f"{row['tok_s_rtt_corrected']:7.1f} corrected  "
+            f"(x{row['speedup_vs_plain_device']:.2f} vs plain device)")
+        rows.append(row)
+        del draft
+    if args.json_out:
+        Path(args.json_out).write_text(json.dumps(rows, indent=1))
+    print(json.dumps(rows))
+
+
+if __name__ == "__main__":
+    main()

@@ -43,6 +43,8 @@ def main():
     ap.add_argument("--prompt-len", type=int, default=64)
     ap.add_argument("--serving", action="store_true",
                     help="also trace one serving scheduler tick at B=8")
+    ap.add_argument("--max-seq", type=int, default=1024)
+    ap.add_argument("--kv-int8", action="store_true")
     ap.add_argument("--prefill", type=int, default=0,
                     help="trace ONE prefill of this many tokens instead of "
                          "the decode loop")
@@ -57,7 +59,8 @@ def main():
 
     model_path = args.model or get_fixture("tinyllama-1.1b-q4_k_m", tinyllama_1b_config())
     cfg, params, _reader = load_model(model_path, scale_dtype="bf16")
-    eng = InferenceEngine(cfg, params, max_batch=1, max_seq=1024)
+    eng = InferenceEngine(cfg, params, max_batch=1, max_seq=args.max_seq,
+                          kv_quantized=args.kv_int8)
     log(f"loaded {cfg.arch} L={cfg.n_layers}")
 
     rng = np.random.default_rng(0)
