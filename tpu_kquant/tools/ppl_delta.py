@@ -1,40 +1,93 @@
-"""Quantization-quality harness: perplexity delta between precisions.
+"""Quantization-quality harness: perplexity delta, token-level KL and top-1
+agreement between precisions, across the whole recipe ladder.
 
 The north-star quality gate (BASELINE.json): Q4_K_M must stay within
-llama.cpp's ~+0.05 ppl of fp16 on wikitext-2. Given a high-precision GGUF
-and a text file, this requantizes to the target recipe and reports both
-perplexities and the delta.
+llama.cpp's ~+0.05 ppl of fp16 on wikitext-2. The r3 verdict found the
+ppl-only gate SATURATED on the well-trained tiny fixture (+0.0000 deltas —
+it would pass a quantizer costing a real model +0.04), so the harness also
+measures distribution-level damage that ppl integrates away:
+
+  * mean token KL(p_f16 || p_q) over every teacher-forced position
+  * top-1 agreement (argmax match rate) vs the f16 model
+  * the full recipe ladder in one run (--types q2_k,q3_k_m,...) so the
+    EXPECTED ORDERING (q2 > q3 > q4 > q5 > q6 > q8 damage) is demonstrated,
+    not assumed.
 
   python -m tpu_kquant.tools.ppl_delta --model f16.gguf --text wiki.txt \
-      --type q4_k_m --ctx 512
+      --types q2_k,q3_k_m,q4_k_m,q5_k_m,q6_k,q8_0 --ctx 256
 """
 
 from __future__ import annotations
 
 import argparse
+import json
 import tempfile
 from pathlib import Path
 
+import numpy as np
 
-def ppl_of(model_path: str, ids, ctx: int, max_windows, impl: str) -> float:
+
+def window_metrics(model_path: str, ids, ctx: int, max_windows, impl: str,
+                   base_lp: list | None = None):
+    """Teacher-forced per-window log-probs + metrics.
+
+    Returns (ppl, mean_kl, top1_agreement, logprob_windows). When base_lp is
+    given (the f16 run's windows), KL/top-1 are computed against it and
+    logprob_windows is None (saves memory)."""
+    import jax
+    import jax.numpy as jnp
+
     from tpu_kquant.runtime import InferenceEngine, load_model
-    from tpu_kquant.tools.perplexity import perplexity
 
     cfg, params, reader = load_model(model_path)
     eng = InferenceEngine(cfg, params, max_batch=1, max_seq=ctx, impl=impl)
-    res = perplexity(eng, ids, ctx=ctx, max_windows=max_windows)
+    nw = max((len(ids) - 1) // ctx, 1)
+    if max_windows:
+        nw = min(nw, max_windows)
+    nll = 0.0
+    cnt = 0
+    kl_sum = 0.0
+    agree = 0
+    lps = [] if base_lp is None else None
+    for w in range(nw):
+        seg = np.asarray(ids[w * ctx: w * ctx + ctx + 1], np.int32)
+        if len(seg) < 2:
+            break
+        T = len(seg) - 1
+        toks = jnp.asarray(seg[:-1][None, :])
+        pos = jnp.arange(T, dtype=jnp.int32)[None, :]
+        cache = eng.new_cache(1)
+        logits, _ = eng._step(eng.params, toks, pos, cache, False)
+        lp = np.asarray(jax.nn.log_softmax(logits[0].astype(jnp.float32),
+                                           axis=-1))
+        tgt = seg[1:]
+        nll += float(-lp[np.arange(T), tgt].sum())
+        cnt += T
+        if base_lp is not None:
+            blp = base_lp[w]
+            kl_sum += float(
+                (np.exp(blp) * (blp - lp)).sum(-1).sum())
+            agree += int((blp.argmax(-1) == lp.argmax(-1)).sum())
+        else:
+            lps.append(lp)
     reader.close()
-    return res["ppl"]
+    ppl = float(np.exp(nll / max(cnt, 1)))
+    if base_lp is not None:
+        return ppl, kl_sum / max(cnt, 1), agree / max(cnt, 1), None
+    return ppl, 0.0, 1.0, lps
 
 
 def main(argv=None):
-    ap = argparse.ArgumentParser(description="ppl delta across quantizations")
+    ap = argparse.ArgumentParser(description="ppl/KL/top-1 delta across quantizations")
     ap.add_argument("--model", required=True, help="high-precision GGUF (f16/f32)")
     ap.add_argument("--text", required=True)
-    ap.add_argument("--type", default="q4_k_m")
+    ap.add_argument("--type", default=None, help="single recipe (legacy mode)")
+    ap.add_argument("--types", default=None,
+                    help="comma list for the ladder table")
     ap.add_argument("--ctx", type=int, default=512)
     ap.add_argument("--max-windows", type=int, default=None)
     ap.add_argument("--impl", default="auto")
+    ap.add_argument("--json-out", default="")
     args = ap.parse_args(argv)
 
     from tpu_kquant.gguf import GGUFReader
@@ -45,16 +98,31 @@ def main(argv=None):
         tok = from_gguf_metadata(r.metadata)
     ids = tok.encode(open(args.text, encoding="utf-8").read(), add_bos=True)
 
-    base_ppl = ppl_of(args.model, ids, args.ctx, args.max_windows, args.impl)
-    with tempfile.TemporaryDirectory() as td:
-        qpath = str(Path(td) / "q.gguf")
-        requantize(args.model, qpath, args.type, verbose=False)
-        q_ppl = ppl_of(qpath, ids, args.ctx, args.max_windows, args.impl)
+    types = (args.types.split(",") if args.types
+             else [args.type or "q4_k_m"])
 
+    base_ppl, _, _, base_lp = window_metrics(
+        args.model, ids, args.ctx, args.max_windows, args.impl)
     print(f"base ppl   : {base_ppl:.4f}")
-    print(f"{args.type:10s}: {q_ppl:.4f}")
-    print(f"delta      : {q_ppl - base_ppl:+.4f}")
-    return q_ppl - base_ppl
+    rows = []
+    for t in types:
+        with tempfile.TemporaryDirectory() as td:
+            qpath = str(Path(td) / "q.gguf")
+            requantize(args.model, qpath, t, verbose=False)
+            q_ppl, kl, top1, _ = window_metrics(
+                qpath, ids, args.ctx, args.max_windows, args.impl,
+                base_lp=base_lp)
+        print(f"{t:10s}: ppl {q_ppl:.4f}  dppl {q_ppl - base_ppl:+.4f}  "
+              f"KL {kl:.5f}  top1 {top1 * 100:.2f}%")
+        rows.append({"type": t, "ppl": round(q_ppl, 4),
+                     "dppl": round(q_ppl - base_ppl, 4),
+                     "kl": round(kl, 6), "top1": round(top1, 4)})
+    if args.json_out:
+        Path(args.json_out).write_text(json.dumps(
+            {"base_ppl": round(base_ppl, 4), "rows": rows}, indent=1))
+    if len(rows) == 1:
+        return rows[0]["dppl"]
+    return rows
 
 
 if __name__ == "__main__":

@@ -25,6 +25,8 @@ RECIPES = {
     "q8_0": GGMLType.Q8_0,
     "q6_k": GGMLType.Q6_K,
     "q5_k_m": None,
+    "q3_k_m": None,  # mixed: Q3_K base, Q4_K/Q5_K bumps (llama.cpp-style)
+    "q2_k": None,    # mixed: Q2_K base, Q4_K attn_v (llama.cpp's Q2_K)
     "f16": GGMLType.F16,
     "bf16": GGMLType.BF16,
 }
@@ -36,6 +38,19 @@ def _target_type(name: str, shape, recipe: str) -> GGMLType:
     uniform = RECIPES.get(recipe)
     if uniform is not None:
         t = uniform
+    elif recipe == "q2_k":
+        # llama.cpp's Q2_K recipe: Q2_K base, attn_v/output bumped
+        t = GGMLType.Q2_K
+        if "attn_v" in name:
+            t = GGMLType.Q4_K
+        elif "output.weight" in name:
+            t = GGMLType.Q6_K
+    elif recipe == "q3_k_m":
+        t = GGMLType.Q3_K
+        if any(s in name for s in ("attn_v", "ffn_down", "attn_output")):
+            t = GGMLType.Q4_K
+        elif "output.weight" in name:
+            t = GGMLType.Q5_K
     else:
         base = GGMLType.Q5_K if recipe == "q5_k_m" else GGMLType.Q4_K
         t = base
