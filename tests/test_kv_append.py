@@ -45,3 +45,31 @@ def test_kv_append_preserves_other_rows():
         v0n[0, b, :, int(start[b]), :] = np.asarray(v_new[b, 0])
     np.testing.assert_array_equal(k2, k0n)
     np.testing.assert_array_equal(v2, v0n)
+
+
+def test_deferred_append_matches_eager(monkeypatch):
+    """TKQ_DEFER_APPEND decode path (batched end-of-step cache writes +
+    in-attention current-token patches) must produce the same tokens and
+    the same cache contents as the eager per-layer append path."""
+    import jax.numpy as jnp
+
+    from tpu_kquant.models.fixtures import tiny_config, write_fixture_gguf
+    from tpu_kquant.runtime import InferenceEngine, load_model
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "m.gguf")
+        cfg = tiny_config(n_layers=2, dim=64, n_heads=4, n_kv_heads=2,
+                          ffn_dim=128, vocab_size=512, max_seq_len=128)
+        write_fixture_gguf(path, cfg, seed=7, quant="q4_k_m", scale=0.08)
+        cfg, params, _ = load_model(path)
+
+        def run(defer):
+            monkeypatch.setenv("TKQ_DEFER_APPEND", "1" if defer else "0")
+            eng = InferenceEngine(cfg, params, max_batch=2, max_seq=64,
+                                  impl="xla")
+            toks = eng.generate([[3, 100, 7], [9, 300, 2, 41]],
+                                max_new_tokens=8)
+            return toks
+
+        assert run(True) == run(False)

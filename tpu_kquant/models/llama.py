@@ -128,18 +128,22 @@ def llama_layer(
         k = apply_rope(k, cos[:, :, None, :], sin[:, :, None, :], cfg.rope.mode)
 
     ring_last = None
+    kv_cur = None
     if kv_write is not None:
         view = kv_write(k, v)
         k_all, v_all, kv_scales = view[:3]
         if len(view) == 4:  # iSWA ring layer: last written abs position [B]
             ring_last = view[3]
+        elif len(view) == 5:  # deferred append: current rows ride attention
+            kv_cur = view[4]
     else:
         lkv = append_layer(lkv, k, v, positions)
         k_all, v_all, kv_scales = lkv[0], lkv[1], layer_scales(lkv)
     # fused attention-output megakernel: flash attention + o_proj + residual
     # in one launch (decode shapes on TPU, full attention only)
     fused_out = None
-    if (T == 1 and ring_last is None and cfg.attn_logit_softcap == 0.0
+    if (T == 1 and ring_last is None and kv_cur is None
+            and cfg.attn_logit_softcap == 0.0
             and isinstance(window, int) and window == 0
             and not cfg.post_norms):
         from tpu_kquant.ops.pallas_attn_out import (
@@ -156,7 +160,7 @@ def llama_layer(
                                 logit_softcap=cfg.attn_logit_softcap,
                                 sliding_window=window,
                                 impl="xla" if impl == "xla" else "auto",
-                                ring_last=ring_last)
+                                ring_last=ring_last, kv_cur=kv_cur)
         # fused o_proj + attention-residual + FFN-block megakernel: one
         # launch from the attention output to the layer output
         if not cfg.is_moe and not cfg.post_norms and "w_gateup" in layer:
@@ -314,6 +318,22 @@ def llama_forward(
         )
         rope_cf_sf = None
         pending_qkv = None
+        # deferred batched KV append (TKQ_DEFER_APPEND, default on): at
+        # decode shapes the per-layer appends are 2L tiny DUS ops (~1.4 us
+        # op overhead each — artifacts/perf/trace_decode_r4_ops.json puts
+        # them at 63+15 us/step on TinyLlama, 2nd only to the weight
+        # kernels). Instead each layer's attention folds its current (k, v)
+        # in via fused selects (ops.attention kv_cur) and ALL layers' rows
+        # are written in two stacked update-slices after the loop.
+        import os as _os
+
+        defer = (
+            tokens.shape[1] == 1 and not is_iswa and not cache.quantized
+            and kv_valid is None and not cfg.is_recurrent
+            and _os.environ.get("TKQ_DEFER_APPEND", "1") == "1"
+            and _os.environ.get("TKQ_FUSE_LAYER", "0") != "1"
+        )
+        pending_kv: list | None = [] if defer else None
         for i, layer in enumerate(layers_list):
             if wl_possible and not cfg.layer_window(i) and \
                     "wqk" in layer and "w_gateup" in layer:
@@ -341,6 +361,10 @@ def llama_forward(
                     pending_qkv = None
                     continue
             def kv_write(k_new, v_new, _i=i):
+                if pending_kv is not None:
+                    pending_kv.append((k_new, v_new))
+                    view = holder["cache"].layer_view(_i)  # pre-append
+                    return (*view, None, (k_new, v_new))
                 if is_iswa:
                     c = holder["cache"].append(_i, k_new, v_new, positions,
                                                valid=kv_valid)
@@ -376,6 +400,13 @@ def llama_forward(
                 layer, cfg, x, positions, cos, sin, None,
                 impl, mesh, window=cfg.layer_window(i),
                 kv_write=kv_write, qkv_in=pending_qkv, next_fuse=next_fuse)
+        if pending_kv:
+            import jax as _jax
+
+            holder["cache"] = holder["cache"].append_all(
+                _jax.numpy.stack([kv[0] for kv in pending_kv]),
+                _jax.numpy.stack([kv[1] for kv in pending_kv]),
+                positions)
         cache = holder["cache"]
 
     x = rms_norm(x, _norm_w(params["output_norm"]), cfg.norm_eps)

@@ -43,6 +43,7 @@ def attention_decode(
     sliding_window: int = 0,
     impl: str = "auto",
     ring_last: jnp.ndarray | None = None,  # [B] last written abs position
+    kv_cur: tuple[jnp.ndarray, jnp.ndarray] | None = None,
 ) -> jnp.ndarray:
     """Causal GQA attention of T query tokens against S cache slots.
 
@@ -53,6 +54,16 @@ def attention_decode(
     ring_last: when given, the cache is a RING of S slots (iSWA layout,
     runtime.kv_cache.ISWACache): slot j holds absolute position
     last - ((last - j) mod S) — the mask is computed from that instead of j.
+
+    kv_cur: DEFERRED-APPEND mode (models.llama decode path, T == 1): the
+    current token's (k, v) [B, T, Hkv, D] have NOT been written to the cache
+    yet — slot q_pos holds garbage. The current token enters as fused
+    elementwise patches instead: its logit replaces column q_pos before
+    softmax, and its value replaces row q_pos's contribution after. The
+    logit/probability set is mathematically identical to attending the
+    post-append cache; it exists so the per-layer cache writes (44 tiny
+    dynamic_update_slice ops, ~1.4 us of op overhead each — the r4 trace)
+    can batch into two stacked writes per step.
 
     Dispatch: single-query decode on TPU uses the blockwise flash Pallas
     kernel (ops.pallas_attention); everything else the fused XLA path below.
@@ -66,6 +77,7 @@ def attention_decode(
     if (
         impl in ("auto", "pallas")
         and ring_last is None
+        and kv_cur is None
         and T == 1
         and logit_softcap == 0.0
         and static_win
@@ -104,6 +116,7 @@ def attention_decode(
     if (
         impl in ("auto", "pallas")
         and ring_last is None
+        and kv_cur is None
         and T > 1
         and logit_softcap == 0.0
         and static_win
@@ -144,6 +157,20 @@ def attention_decode(
     logits = jnp.einsum("bthgd,bhsd->bthgs", qf, kf) * scale
     if kv_scales is not None:
         logits = logits * ks[:, None, :, None, :]
+
+    at_cur = None
+    if kv_cur is not None:
+        # deferred append (docstring): slot q_pos is garbage — substitute the
+        # current token's logit there (a fused select) before softcap/mask
+        k_cur, v_cur = kv_cur
+        l_cur = jnp.einsum(
+            "bthgd,bthd->bthg", qf,
+            k_cur.astype(jnp.float32).reshape(B, T, Hkv, D)) * scale
+        cur_pos = jax.lax.broadcasted_iota(jnp.int32, (1, 1, S), 2)
+        at_cur = cur_pos == q_positions[:, :, None]  # [B, T, S]
+        logits = jnp.where(at_cur[:, :, None, None, :],
+                           l_cur[..., None], logits)
+
     if logit_softcap > 0.0:
         logits = jnp.tanh(logits / logit_softcap) * logit_softcap
 
@@ -163,5 +190,15 @@ def attention_decode(
     p = jax.nn.softmax(logits, axis=-1)
     if kv_scales is not None:
         p = p * vs[:, None, :, None, :]
+    if at_cur is not None:
+        # value side of the deferred append: zero the garbage row's weight
+        # in the cache contraction, add the current token's value rank-1
+        at5 = at_cur[:, :, None, None, :]
+        p_cur = jnp.sum(jnp.where(at5, p, 0.0), axis=-1)  # [B, T, Hkv, G]
+        p = jnp.where(at5, 0.0, p)
+        out = jnp.einsum("bthgs,bhsd->bthgd", p, vf)
+        out = out + p_cur[..., None] * v_cur.astype(jnp.float32).reshape(
+            B, T, Hkv, 1, D)
+        return out.reshape(B, T, H, D).astype(q.dtype)
     out = jnp.einsum("bthgs,bhsd->bthgd", p, vf)
     return out.reshape(B, T, H, D).astype(q.dtype)

@@ -124,6 +124,31 @@ class KVCache:
         return KVCache(upd(self.k, k_new.astype(dt)),
                        upd(self.v, v_new.astype(dt)), None, None)
 
+    def append_all(
+        self,
+        k_new: jnp.ndarray,  # [L, B, T, Hkv, D]
+        v_new: jnp.ndarray,
+        positions: jnp.ndarray,  # [B, T]
+    ) -> "KVCache":
+        """EVERY layer's new rows in two update-slices per batch row — the
+        deferred-append decode path (models.llama): the per-layer eager path
+        costs 2 tiny DUS ops/layer (~1.4 us op overhead each, r4 trace);
+        this batches a step's 2L writes into 2. bf16 caches only (the
+        quantized layout also rewrites scale planes per layer)."""
+        assert not self.quantized
+        start = positions[:, 0]
+        L, B = k_new.shape[0], k_new.shape[1]
+        dt = self.k.dtype
+
+        def upd(full, val):
+            val = val.transpose(0, 1, 3, 2, 4).astype(dt)  # [L, B, Hkv, T, D]
+            for b in range(B):
+                full = jax.lax.dynamic_update_slice(
+                    full, val[:, b][:, None], (0, b, 0, start[b], 0))
+            return full
+
+        return KVCache(upd(self.k, k_new), upd(self.v, v_new), None, None)
+
     def layer(self, layer_idx) -> "LayerKV":
         """Per-layer slice (k [B,Hkv,S,D], v, k_scale|None, v_scale|None).
         ``layer_idx`` may be traced."""
