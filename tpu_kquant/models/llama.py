@@ -328,7 +328,7 @@ def llama_forward(
         import os as _os
 
         defer = (
-            tokens.shape[1] == 1 and not is_iswa and not cache.quantized
+            tokens.shape[1] == 1 and not is_iswa
             and kv_valid is None and not cfg.is_recurrent
             and _os.environ.get("TKQ_DEFER_APPEND", "1") == "1"
             and _os.environ.get("TKQ_FUSE_LAYER", "0") != "1"

@@ -188,17 +188,17 @@ def attention_decode(
     logits = jnp.where(mask[:, :, None, None, :], logits, -jnp.inf)
 
     p = jax.nn.softmax(logits, axis=-1)
-    if kv_scales is not None:
-        p = p * vs[:, None, :, None, :]
     if at_cur is not None:
-        # value side of the deferred append: zero the garbage row's weight
-        # in the cache contraction, add the current token's value rank-1
+        # value side of the deferred append: extract/zero the garbage row's
+        # weight BEFORE the int8 v-scales apply (its scale slot is garbage
+        # too); the current token's value re-enters rank-1, unquantized
         at5 = at_cur[:, :, None, None, :]
         p_cur = jnp.sum(jnp.where(at5, p, 0.0), axis=-1)  # [B, T, Hkv, G]
         p = jnp.where(at5, 0.0, p)
-        out = jnp.einsum("bthgs,bhsd->bthgd", p, vf)
+    if kv_scales is not None:
+        p = p * vs[:, None, :, None, :]
+    out = jnp.einsum("bthgs,bhsd->bthgd", p, vf)
+    if at_cur is not None:
         out = out + p_cur[..., None] * v_cur.astype(jnp.float32).reshape(
             B, T, Hkv, 1, D)
-        return out.reshape(B, T, H, D).astype(q.dtype)
-    out = jnp.einsum("bthgs,bhsd->bthgd", p, vf)
     return out.reshape(B, T, H, D).astype(q.dtype)

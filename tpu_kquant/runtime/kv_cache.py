@@ -132,10 +132,9 @@ class KVCache:
     ) -> "KVCache":
         """EVERY layer's new rows in two update-slices per batch row — the
         deferred-append decode path (models.llama): the per-layer eager path
-        costs 2 tiny DUS ops/layer (~1.4 us op overhead each, r4 trace);
-        this batches a step's 2L writes into 2. bf16 caches only (the
-        quantized layout also rewrites scale planes per layer)."""
-        assert not self.quantized
+        costs 2 tiny DUS ops/layer (~1.4 us op overhead each, r4 trace, plus
+        2 more for the int8 scale planes); this batches a step's 2L (4L
+        quantized) writes into 2 (4)."""
         start = positions[:, 0]
         L, B = k_new.shape[0], k_new.shape[1]
         dt = self.k.dtype
@@ -147,6 +146,19 @@ class KVCache:
                     full, val[:, b][:, None], (0, b, 0, start[b], 0))
             return full
 
+        if self.quantized:
+            kq, ks = _quant_i8(k_new)  # [L,B,T,Hkv,D] i8 / [L,B,T,Hkv] f32
+            vq, vs = _quant_i8(v_new)
+
+            def upd_s(full, val):
+                val = val.transpose(0, 1, 3, 2)  # [L, B, Hkv, T]
+                for b in range(B):
+                    full = jax.lax.dynamic_update_slice(
+                        full, val[:, b][:, None], (0, b, 0, start[b]))
+                return full
+
+            return KVCache(upd(self.k, kq), upd(self.v, vq),
+                           upd_s(self.k_scale, ks), upd_s(self.v_scale, vs))
         return KVCache(upd(self.k, k_new), upd(self.v, v_new), None, None)
 
     def layer(self, layer_idx) -> "LayerKV":
