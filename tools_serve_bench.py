@@ -99,9 +99,11 @@ def main():
             )
 
         # warmup: compile decode + BOTH slot-prefill buckets + sampler +
-        # the multi-tick chunk executables the main run will hit
-        for i, plen in enumerate((args.prompt_len // 2, args.prompt_len)):
+        # the multi-tick chunk executables + BOTH admission shapes (the
+        # initial k=B burst and steady-state k=1) the main run will hit
+        for i in range(B + 2):
             r = mk_req(10_000 + i)
+            plen = args.prompt_len // 2 if i % 2 else args.prompt_len
             r.prompt = rng.integers(10, cfg.vocab_size, plen).tolist()
             cb.submit(r)
         cb.run()
