@@ -580,9 +580,7 @@ class ContinuousBatcher:
         if eng.kv_layout != "unified":
             raise NotImplementedError(
                 "slot prefill requires the unified KV layout")
-        k = 1
-        while k < len(pairs):
-            k *= 2
+        k = self.B
         padded = pairs + [pairs[0]] * (k - len(pairs))
         for _b, req in pairs:
             if len(req.prompt) > eng.max_seq:
