@@ -186,3 +186,36 @@ def test_chunked_run_eos_truncates(setup):
         return cb2.run(max_chunk=max_chunk)[0].output
 
     assert drive(8) == drive(1)
+
+
+def test_chunk_eos_early_exit(setup):
+    """The device chunk loop freezes a row at its eos and exits once every
+    row has hit one — an eos-heavy workload must not burn the full chunk's
+    ticks (r4 capped chunks at 4 on the host instead)."""
+    cfg, params = setup
+    eng = InferenceEngine(cfg, params, max_batch=2, max_seq=64, impl="xla")
+    base = eng.generate([[3, 100, 7]], max_new_tokens=24)[0]
+    eos = base[5]
+
+    cut = base.index(eos)  # the stream stops at eos's FIRST occurrence
+
+    eng2 = InferenceEngine(cfg, params, max_batch=2, max_seq=64, impl="xla")
+    cb = ContinuousBatcher(eng2)
+    cb.submit(Request(prompt=[3, 100, 7], max_new_tokens=24, eos_id=eos))
+    out = cb.run(max_chunk=32)[0].output
+    assert out == base[: cut + 1]
+    # 1 admission tick + a chunk that exits at the eos tick — not 24
+    assert cb.stats["steps"] <= cut + 3
+
+
+def test_submit_rejects_oversized_prompt(setup):
+    """Validation happens at submit(), before any slot state exists — a
+    caller that catches the error keeps a healthy batcher (ADVICE r4)."""
+    cfg, params = setup
+    eng = InferenceEngine(cfg, params, max_batch=2, max_seq=32, impl="xla")
+    cb = ContinuousBatcher(eng)
+    with pytest.raises(ValueError):
+        cb.submit(Request(prompt=list(range(40)), max_new_tokens=4))
+    cb.submit(Request(prompt=[3, 100, 7], max_new_tokens=4))
+    done = cb.run()
+    assert len(done) == 1 and len(done[0].output) == 4

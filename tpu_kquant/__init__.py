@@ -3,9 +3,9 @@
 A brand-new JAX/XLA/Pallas framework with the capability surface of the
 reference stack surveyed in /root/repo/SURVEY.md (a NEON-optimized llama.cpp
 quantized-inference engine): GGUF K-quant model loading (Q4_K_M superblocks,
-Q8_K activations), a functional Llama/Mixtral forward, paged (optionally INT8)
-KV cache, fused Pallas dequant+matmul kernels, continuous batching, and GSPMD
-tensor/expert sharding over TPU meshes.
+Q8_K activations), a functional Llama/Mixtral forward, a slot-contiguous
+(optionally INT8) KV cache, fused Pallas dequant+matmul kernels, continuous
+batching, and GSPMD tensor/expert sharding over TPU meshes.
 
 Layer map (reference layer -> here, see SURVEY.md section 1):
   L0 model I/O        -> tpu_kquant.gguf        (GGUF reader/writer, mmap views)

@@ -333,6 +333,20 @@ def llama_forward(
             and _os.environ.get("TKQ_DEFER_APPEND", "1") == "1"
             and _os.environ.get("TKQ_FUSE_LAYER", "0") != "1"
         )
+        if defer:
+            # kv_cur disqualifies the blockwise flash-decode kernel, so the
+            # XLA attention materializes [B, H, S] logits every layer. Below
+            # the dispatch gate that is the faster path anyway (the whole
+            # reason defer wins); past it (large B*S serving / long context)
+            # fall back to eager appends so attention_decode can dispatch
+            # the Pallas kernel (ADVICE r4: the long-context escape must not
+            # be dead code at decode).
+            from tpu_kquant.ops.attention import _ATTN_XLA_MAX_MB
+
+            S_cache = cache.k.shape[3]
+            logits_mb = (tokens.shape[0] * cfg.n_heads * S_cache * 4) / 1e6
+            if logits_mb > _ATTN_XLA_MAX_MB:
+                defer = False
         pending_kv: list | None = [] if defer else None
         for i, layer in enumerate(layers_list):
             if wl_possible and not cfg.layer_window(i) and \

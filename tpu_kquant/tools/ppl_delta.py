@@ -27,13 +27,46 @@ from pathlib import Path
 import numpy as np
 
 
+class _LPStore:
+    """Per-window teacher-forced log-probs, f16 on a disk-backed memmap.
+
+    The r4 in-RAM f32 list OOMed on real corpora (wikitext-2 at 32k vocab /
+    ctx 512 is tens of GB); f16 halves the bytes and the memmap keeps them
+    off the heap entirely — the ladder's base run streams to disk once, then
+    every quantized run reads it back window by window."""
+
+    def __init__(self, nw: int, ctx: int, vocab: int):
+        f = tempfile.NamedTemporaryFile(suffix=".lp.f16", delete=False)
+        self._path = f.name
+        f.close()
+        self._mm = np.memmap(self._path, np.float16, "w+", shape=(nw, ctx, vocab))
+        self._ts: list[int] = []
+
+    def append(self, lp: np.ndarray) -> None:
+        w, t = len(self._ts), lp.shape[0]
+        self._mm[w, :t] = lp.astype(np.float16)
+        self._ts.append(t)
+
+    def get(self, w: int) -> np.ndarray:
+        blp = np.asarray(self._mm[w, : self._ts[w]], np.float32)
+        # f16 rounding denormalizes the stored distribution slightly (KL
+        # against it could go ~1e-5 negative); renormalize on read
+        m = blp.max(-1, keepdims=True)
+        blp -= m + np.log(np.exp(blp - m).sum(-1, keepdims=True))
+        return blp
+
+    def close(self) -> None:
+        del self._mm
+        Path(self._path).unlink(missing_ok=True)
+
+
 def window_metrics(model_path: str, ids, ctx: int, max_windows, impl: str,
-                   base_lp: list | None = None):
+                   base_lp: _LPStore | None = None):
     """Teacher-forced per-window log-probs + metrics.
 
-    Returns (ppl, mean_kl, top1_agreement, logprob_windows). When base_lp is
+    Returns (ppl, mean_kl, top1_agreement, logprob_store). When base_lp is
     given (the f16 run's windows), KL/top-1 are computed against it and
-    logprob_windows is None (saves memory)."""
+    logprob_store is None."""
     import jax
     import jax.numpy as jnp
 
@@ -48,7 +81,7 @@ def window_metrics(model_path: str, ids, ctx: int, max_windows, impl: str,
     cnt = 0
     kl_sum = 0.0
     agree = 0
-    lps = [] if base_lp is None else None
+    lps = _LPStore(nw, ctx, cfg.vocab_size) if base_lp is None else None
     for w in range(nw):
         seg = np.asarray(ids[w * ctx: w * ctx + ctx + 1], np.int32)
         if len(seg) < 2:
@@ -64,7 +97,7 @@ def window_metrics(model_path: str, ids, ctx: int, max_windows, impl: str,
         nll += float(-lp[np.arange(T), tgt].sum())
         cnt += T
         if base_lp is not None:
-            blp = base_lp[w]
+            blp = base_lp.get(w)
             kl_sum += float(
                 (np.exp(blp) * (blp - lp)).sum(-1).sum())
             agree += int((blp.argmax(-1) == lp.argmax(-1)).sum())
@@ -117,6 +150,7 @@ def main(argv=None):
         rows.append({"type": t, "ppl": round(q_ppl, 4),
                      "dppl": round(q_ppl - base_ppl, 4),
                      "kl": round(kl, 6), "top1": round(top1, 4)})
+    base_lp.close()
     if args.json_out:
         Path(args.json_out).write_text(json.dumps(
             {"base_ppl": round(base_ppl, 4), "rows": rows}, indent=1))
