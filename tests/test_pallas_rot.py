@@ -1,5 +1,5 @@
 """Parity: the rotated-boundary kernel (oproj+FFN+next-layer attn_in in one
-launch, ops.pallas_ffn.fused_oproj_ffn_attn_in) vs the composed pair
+launch, ops.attic.pallas_rot.fused_oproj_ffn_attn_in) vs the composed pair
 (fused_oproj_ffn then fused_attn_in) in interpret mode."""
 
 import numpy as np
@@ -10,11 +10,11 @@ import jax  # noqa: E402
 
 from tpu_kquant.gguf.constants import GGMLType  # noqa: E402
 from tpu_kquant.ops.pallas_attn_in import fused_attn_in, rope_tables_full  # noqa: E402
-from tpu_kquant.ops.pallas_ffn import (  # noqa: E402
-    fused_oproj_ffn,
+from tpu_kquant.ops.attic.pallas_rot import (  # noqa: E402
     fused_oproj_ffn_attn_in,
     rot_supported,
 )
+from tpu_kquant.ops.pallas_ffn import fused_oproj_ffn  # noqa: E402
 from tpu_kquant.quant import quantize  # noqa: E402
 from tpu_kquant.quant.repack import (  # noqa: E402
     pack_scale_pairs,

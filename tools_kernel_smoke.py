@@ -249,7 +249,7 @@ def smoke_model(preset: str, results: list, only: str = ""):
 
     # rotated layer boundary: oproj+FFN+next-layer attn_in in one launch
     from tpu_kquant.ops.pallas_attn_in import rope_tables_full
-    from tpu_kquant.ops.pallas_ffn import fused_oproj_ffn_attn_in
+    from tpu_kquant.ops.attic.pallas_rot import fused_oproj_ffn_attn_in
 
     for R in (1, 4):
         if not sel("rot"):

@@ -164,11 +164,13 @@ def llama_layer(
         # fused o_proj + attention-residual + FFN-block megakernel: one
         # launch from the attention output to the layer output
         if not cfg.is_moe and not cfg.post_norms and "w_gateup" in layer:
+            from tpu_kquant.ops.attic.pallas_rot import (
+                fused_oproj_ffn_attn_in,
+                rot_enabled,
+            )
             from tpu_kquant.ops.pallas_ffn import (
                 fused_oproj_ffn,
-                fused_oproj_ffn_attn_in,
                 oproj_ffn_enabled,
-                rot_enabled,
             )
 
             act = "gelu" if cfg.act_fn == "gelu" else "silu"
@@ -308,7 +310,7 @@ def llama_forward(
             and not cache.quantized
         )
         # rotated layer boundaries: layer i's oproj+FFN launch can emit
-        # layer i+1's QKV (ops.pallas_ffn.fused_oproj_ffn_attn_in) when the
+        # layer i+1's QKV (ops.attic.pallas_rot.fused_oproj_ffn_attn_in) when the
         # arch qualifies; the actual dispatch decision (incl. kind/env gates)
         # is per-pair inside llama_layer via rot_enabled
         layers_list = params["layers"]
