@@ -219,3 +219,34 @@ def test_submit_rejects_oversized_prompt(setup):
     cb.submit(Request(prompt=[3, 100, 7], max_new_tokens=4))
     done = cb.run()
     assert len(done) == 1 and len(done[0].output) == 4
+
+
+def test_serving_sharded_tp_int8kv_parity(tmp_path):
+    """BASELINE config #3 evidence: the ContinuousBatcher ticking over a
+    DP+TP mesh with an int8-quantized KV cache — sharded-weight/-cache/
+    -state serving must reproduce the unsharded engine's greedy streams
+    bit-for-bit, through staggered admissions and retirements."""
+    from tpu_kquant.parallel import make_mesh, make_param_put
+
+    mesh = make_mesh(data=2, model=4)
+    cfg = tiny_config(n_layers=2, dim=32 * 4, n_heads=2 * 4, n_kv_heads=4,
+                      ffn_dim=256, vocab_size=512, max_seq_len=128)
+    path = tmp_path / "serve_tp.gguf"
+    write_fixture_gguf(path, cfg, seed=21, quant="q4_k_m", scale=0.08)
+
+    prompts = [[3, 100, 7], [9, 300], [17, 5, 11, 200, 42], [250],
+               [12, 13], [77, 99, 101]]
+
+    def drive(put, mesh_arg):
+        cfg2, params, _ = load_model(str(path), put=put)
+        eng = InferenceEngine(cfg2, params, max_batch=4, max_seq=64,
+                              impl="xla", kv_quantized=True)
+        cb = ContinuousBatcher(eng, mesh=mesh_arg)
+        for p in prompts:
+            cb.submit(Request(prompt=p, max_new_tokens=5))
+        done = sorted(cb.run(), key=lambda r: r.rid)
+        return [r.output for r in done]
+
+    want = drive(None, None)
+    got = drive(make_param_put(mesh), mesh)
+    assert got == want

@@ -107,10 +107,20 @@ class ContinuousBatcher:
     PENALTY_WINDOW_CAP = 128  # static ring size; per-row last_n <= cap
     MAX_CHUNK = 32  # static bound on fused ticks per dispatch (buffer size)
 
-    def __init__(self, engine: InferenceEngine, seed: int = 0):
+    def __init__(self, engine: InferenceEngine, seed: int = 0, mesh=None):
+        """mesh: serve over a jax.sharding.Mesh (BASELINE config #3): the KV
+        cache shards batch over 'data' and kv-heads over 'model'
+        (parallel.shard_cache), the per-slot device state shards its batch
+        axis over 'data', and the engine's params are expected to already
+        carry TP shardings (runtime.loader with parallel.make_param_put).
+        The tick executable is the same code — GSPMD partitions it."""
         self.engine = engine
         self.B = B = engine.max_batch
         self.cache = engine.new_cache(B)
+        if mesh is not None:
+            from tpu_kquant.parallel import shard_cache
+
+            self.cache = shard_cache(self.cache, mesh)
         self.slots = [_Slot() for _ in range(B)]
         self.queue: deque[Request] = deque()
         self.finished: list[Request] = []
@@ -139,6 +149,15 @@ class ContinuousBatcher:
             widx=jnp.zeros(B, jnp.int32),
             nfill=jnp.zeros(B, jnp.int32),
         )
+        if (mesh is not None and mesh.shape.get("data", 1) > 1
+                and B % mesh.shape["data"] == 0):
+            from jax.sharding import NamedSharding
+            from jax.sharding import PartitionSpec as P
+
+            self.state = self.state._replace(**{
+                f: jax.device_put(
+                    v, NamedSharding(mesh, P("data", *[None] * (v.ndim - 1))))
+                for f, v in self.state._asdict().items()})
 
         recurrent = engine.cfg.is_recurrent
 
