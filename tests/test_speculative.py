@@ -69,3 +69,50 @@ def test_eos_stops_row(engines):
     got, _ = generate_speculative(target, target, prompts, max_new_tokens=12,
                                   n_draft=4, eos_id=eos)
     assert got[0] == want_eos[0]
+
+
+def test_device_speculator_ngram_matches_greedy(engines):
+    """The fully device-resident loop (one dispatch per generation) with
+    the prompt-lookup n-gram draft emits exactly the plain greedy stream —
+    rejected lookups are replaced by the target's own argmax."""
+    from tpu_kquant.runtime.speculative import DeviceSpeculator
+
+    target, _ = engines
+    prompts = [[3, 5, 7, 11], [9, 300]]
+    want = target.generate(prompts, max_new_tokens=16)
+    sp = DeviceSpeculator(target, None, n_draft=4, ngram=2)
+    got, stats = sp.generate(prompts, max_new_tokens=16)
+    assert got == want
+    assert stats["rounds"] >= 1
+
+
+def test_device_speculator_two_model_matches_greedy(engines):
+    """Device-resident two-model speculation: a WRONG draft model must
+    still emit the target's exact greedy stream (only speed may differ)."""
+    from tpu_kquant.runtime.speculative import DeviceSpeculator
+
+    target, bad_draft = engines
+    prompts = [[3, 5, 7, 11]]
+    want = target.generate(prompts, max_new_tokens=14)
+    sp = DeviceSpeculator(target, bad_draft, n_draft=4)
+    got, stats = sp.generate(prompts, max_new_tokens=14)
+    assert got == want
+
+
+def test_device_speculator_repetitive_text_accepts(engines):
+    """On a repeating token pattern the n-gram lookup draft must reach a
+    high acceptance rate (the prompt-lookup win condition): the greedy
+    continuation of a loop-closed model output repeats too. Uses the
+    model's own generated loop: generate once, feed output back as the
+    prompt — the continuation repeats the cycle the model fell into."""
+    from tpu_kquant.runtime.speculative import DeviceSpeculator
+
+    target, _ = engines
+    seed_out = target.generate([[3, 100, 7]], max_new_tokens=24)[0]
+    prompt = [3, 100, 7] + seed_out  # contains the model's own cycle
+    want = target.generate([prompt], max_new_tokens=16)
+    sp = DeviceSpeculator(target, None, n_draft=4, ngram=2)
+    got, stats = sp.generate([prompt], max_new_tokens=16)
+    assert got == want
+    # the cycle makes lookups land: far fewer rounds than tokens
+    assert stats["rounds"] < 16, stats

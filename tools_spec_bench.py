@@ -1,21 +1,28 @@
 #!/usr/bin/env python
-"""Speculative-decoding benchmark on the real TPU (VERDICT r3 #7: measure it
-or demote it).
+"""Speculative-decoding benchmark on the real TPU.
 
-Draft models are derived from the target fixture itself (zero-egress, no
-trained pair available): a LAYER-TRUNCATED draft (the self-speculative /
-early-exit family — first k of L layers + the target's own head) and, as the
-acceptance=1.0 upper bound, the target as its own draft. Acceptance with the
-SYNTHETIC fixture's random weights is a worst case for the truncated drafts
-(real checkpoints correlate early layers with the final head far more), so
-the table brackets reality: measured worst-case acceptance below, exact
-alpha=1.0 machinery overhead above.
+r5: the loop is DEVICE-RESIDENT (runtime.speculative.DeviceSpeculator) —
+draft + verify + accept/reject + emit run inside one jitted while_loop and
+the host dispatches once per generation, so the r4 tunnel-RTT pathology
+(2 blocking fetches/round -> 0.07x plain) is gone by construction. Timing
+is MARGINAL: two runs of different lengths through the SAME executable,
+(t_big - t_small) / (tok_big - tok_small), which cancels prefill and
+dispatch RTT exactly.
 
-The loop is host-driven (2 blocking fetches per round over the ~23 ms
-tunnel), so wall rates are tunnel-bound; the corrected column subtracts the
-measured RTT per blocking fetch, same methodology as tools_serve_bench.
+Configs:
+  plain         fused greedy decode chain (the baseline rate)
+  lookup        n-gram prompt-lookup draft (free!) on a prompt seeded with
+                the model's own generated cycle — the repetitive-text win
+                condition (llama.cpp tools/lookup equivalent)
+  lookup-rand   same draft on a random prompt (worst case: ~0 acceptance;
+                cost floor of the machinery when the draft never lands)
+  alpha1-free   accept_all bound with the free draft: every round takes
+                n_draft+1 tokens for ONE verify forward — the machinery
+                ceiling (timing-only; outputs are draft-quality)
+  self          two-model with draft = target (alpha~1 but full draft cost)
+  truncated-kL  two-model early-exit draft (first k layers + target head)
 
-  python tools_spec_bench.py --drafts 4 8 self --n-draft 6
+  python tools_spec_bench.py --drafts lookup alpha1-free self 4 --n-draft 6
 """
 
 from __future__ import annotations

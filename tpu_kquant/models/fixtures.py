@@ -219,13 +219,19 @@ def write_fixture_gguf(
     return str(w.write())
 
 
-def random_qparams(cfg: ModelConfig, seed: int = 0, scale_mag: float = 0.01):
+def random_qparams(cfg: ModelConfig, seed: int = 0, scale_mag: float = 0.01,
+                   avals: bool = False):
     """Build a params pytree with random *packed* quantized weights directly —
     no quantization pass, so even billion-parameter models materialize in
     seconds. Numerics are garbage (random codes) but shapes, dtypes, layouts
     and compute graphs are identical to a real Q4_K_M load; used for compile
     checks and kernel benchmarking.
+
+    avals=True materializes NOTHING: every leaf is a jax.ShapeDtypeStruct —
+    the 70B-geometry AOT-lowering path (tools_scale_ready.py), where 35 GB
+    of packed weights must never exist on the host.
     """
+    import jax
     import jax.numpy as jnp
 
     from tpu_kquant.quant.qtensor import QTensor
@@ -237,6 +243,16 @@ def random_qparams(cfg: ModelConfig, seed: int = 0, scale_mag: float = 0.01):
         # stacked expert tensors (E, N, K) keep their leading axis on arrays
         pre = shape[:-2] if len(shape) > 2 else ()
         N = shape[-2] if len(shape) > 1 else 1
+        if avals:
+            arrays = {
+                "qs": jax.ShapeDtypeStruct((*pre, K // 2, N), jnp.uint8),
+                "scales": jax.ShapeDtypeStruct((*pre, K // 32, N), jnp.float32),
+                "mins": jax.ShapeDtypeStruct((*pre, K // 32, N), jnp.float32),
+            }
+            if layout == "rowmajor":
+                arrays = {k: jax.ShapeDtypeStruct(v.shape[::-1], v.dtype)
+                          for k, v in arrays.items()}
+            return QTensor("q4", layout, tuple(shape), arrays)
         qs = rng.integers(0, 256, (*pre, K // 2, N), dtype=np.uint8)
         scales = (rng.random((*pre, K // 32, N), dtype=np.float32) * scale_mag)
         mins = (rng.random((*pre, K // 32, N), dtype=np.float32) * scale_mag)
@@ -246,6 +262,9 @@ def random_qparams(cfg: ModelConfig, seed: int = 0, scale_mag: float = 0.01):
         return QTensor("q4", layout, tuple(shape), {k: jnp.asarray(v) for k, v in arrays.items()})
 
     def dense(shape):
+        if avals:
+            return QTensor("dense", "dense", tuple(shape),
+                           {"w": jax.ShapeDtypeStruct(tuple(shape), jnp.float32)})
         return QTensor("dense", "dense", tuple(shape),
                        {"w": jnp.ones(shape, jnp.float32)})
 

@@ -41,6 +41,10 @@ def qmatmul(
     float32 accumulation; output cast to ``out_dtype`` (default: x.dtype).
     """
     out_dtype = out_dtype or x.dtype
+    if (qt.fold or 1) > 1:
+        # block-local fold (row-parallel TP shards): the Pallas kernels
+        # assume the global fold — the XLA path's unpacker handles any fold
+        impl = "xla"
     if impl in ("auto", "pallas", "int8") and qt.kind in _PALLAS_KINDS:
         from tpu_kquant.ops.pallas_qmm import pallas_supported
 
@@ -72,6 +76,24 @@ def qmatmul(
     # matmul (f32 accumulate); f32 activations -> full-precision parity path
     cdt = jnp.float32 if x.dtype == jnp.float32 else jnp.bfloat16
     wt = dequant_kmajor(qt, dtype=cdt)  # [K, N]
+    if qt.tp in ("col", "row"):
+        # pin the dequanted weight to the loader's Megatron orientation so
+        # the SPMD partitioner cannot reshard packed weights per layer
+        # (parallel.sharding.tp_shard_constraints has the full story)
+        from tpu_kquant.parallel.sharding import current_tp_ctx
+
+        ctx = current_tp_ctx()
+        if ctx is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            mesh, axis = ctx
+            n = mesh.shape[axis]
+            spec = ((None, axis) if qt.tp == "col" else (axis, None))
+            ok = (wt.ndim == 2
+                  and wt.shape[1 if qt.tp == "col" else 0] % n == 0)
+            if ok:
+                wt = jax.lax.with_sharding_constraint(
+                    wt, NamedSharding(mesh, P(*spec)))
     y = jax.lax.dot_general(
         x.astype(cdt),
         wt,

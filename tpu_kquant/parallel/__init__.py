@@ -16,4 +16,5 @@ from tpu_kquant.parallel.sharding import (  # noqa: F401
     make_param_put,
     shard_cache,
     shard_qtensor,
+    shard_random_params,
 )

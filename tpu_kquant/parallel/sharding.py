@@ -19,6 +19,39 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from tpu_kquant.quant.qtensor import QTensor
 
+# -- TP weight-constraint context -------------------------------------------
+# Why this exists (tools_scale_ready.py, r5): lowering the 70B-geometry
+# decode step TP-sharded showed XLA's SPMD partitioner CHOOSING to reshard
+# the packed q4 weight arrays (multi-MB all_to_alls) inside the per-layer
+# loop rather than honoring the Megatron col/row placement the loader set.
+# Under this context, ops.qmatmul pins each dequanted weight to its
+# QTensor.tp orientation with with_sharding_constraint, which removes those
+# reshards (activations remain free for the partitioner to place).
+_TP_CTX: "tuple | None" = None
+
+
+class tp_shard_constraints:
+    """Context manager: ``with tp_shard_constraints(mesh): jit(fwd).lower``
+    (or run) — qmatmul pins dequanted weights to their TP orientation."""
+
+    def __init__(self, mesh: Mesh, axis: str = "model"):
+        self.ctx = (mesh, axis)
+
+    def __enter__(self):
+        global _TP_CTX
+        self._prev, _TP_CTX = _TP_CTX, self.ctx
+        return self
+
+    def __exit__(self, *exc):
+        global _TP_CTX
+        _TP_CTX = self._prev
+        return False
+
+
+def current_tp_ctx():
+    return _TP_CTX
+
+
 # tensor-name suffix -> TP orientation
 _COLUMN_PARALLEL = ("attn_q.weight", "attn_k.weight", "attn_v.weight",
                     "attn_qk.weight", "ffn_gateup.weight",
@@ -62,11 +95,19 @@ def shard_qtensor(qt: QTensor, mesh: Mesh, orientation: str) -> QTensor:
             return P(*tp)
         return P()
 
+    if orientation == "row" and n_model > 1:
+        # row(K)-parallel + global bit fold = per-layer all_to_all of the
+        # packed codes (the partner nibble lives on another shard); re-pack
+        # with a shard-local fold so each shard unpacks its own bytes
+        from tpu_kquant.quant.repack import refold_kmajor
+
+        qt = refold_kmajor(qt, n_model)
     arrays = {
         k: jax.device_put(v, NamedSharding(mesh, spec_for(v)))
         for k, v in qt.arrays.items()
     }
-    return QTensor(qt.kind, qt.layout, qt.shape, arrays)
+    tp = orientation if (n_model > 1 and orientation in ("col", "row")) else None
+    return QTensor(qt.kind, qt.layout, qt.shape, arrays, tp, qt.fold)
 
 
 def make_param_put(mesh: Mesh, moe_impl: str = "ep"):
@@ -84,6 +125,87 @@ def make_param_put(mesh: Mesh, moe_impl: str = "ep"):
     put.ep_size = mesh.shape["expert"]  # loader switches MoE to the EP path
     put.moe_impl = moe_impl
     return put
+
+
+# params-pytree key -> TP orientation (models.fixtures.random_qparams naming;
+# the GGUF loader path goes through _orientation on tensor names instead)
+_KEY_ORIENT = {
+    "wq": "col", "wk": "col", "wv": "col", "wqk": "col", "wqkv": "col",
+    "w_gate": "col", "w_up": "col", "w_gateup": "col", "gate_inp": "replicated",
+    "wo": "row", "w_down": "row", "output": "col",
+}
+
+
+def shard_random_params(params: dict[str, Any], mesh: Mesh) -> dict[str, Any]:
+    """Apply the TP/EP sharding rules to a fixture params pytree
+    (models.fixtures.random_qparams) — same specs the loader's put applies
+    to a real GGUF load, keyed on pytree keys instead of tensor names.
+    Works on materialized arrays AND on ShapeDtypeStruct avals (the
+    AOT-lowering path attaches shardings without materializing weights)."""
+    import jax.numpy as jnp
+
+    def put_qt(qt: QTensor, orient: str) -> QTensor:
+        n_model = mesh.shape.get("model", 1)
+        fold = qt.fold
+        if orient == "row" and n_model > 1 and qt.layout == "kmajor":
+            if any(isinstance(v, jax.ShapeDtypeStruct)
+                   for v in qt.arrays.values()):
+                # aval path (AOT lowering): shapes are fold-invariant — tag
+                # the fold so the unpacker lowers the block-local pattern
+                if (qt.kind not in ("q8", "q6w", "dense")
+                        and qt.shape[-1] % (n_model * 256) == 0):
+                    fold = n_model
+            else:
+                from tpu_kquant.quant.repack import refold_kmajor
+
+                qt = refold_kmajor(qt, n_model)
+                fold = qt.fold
+
+        def one(v):
+            spec = _aval_spec(v, qt, orient, mesh)
+            sh = NamedSharding(mesh, spec)
+            if isinstance(v, jax.ShapeDtypeStruct):
+                return jax.ShapeDtypeStruct(v.shape, v.dtype, sharding=sh)
+            return jax.device_put(jnp.asarray(v), sh)
+
+        tp = (orient if (mesh.shape.get("model", 1) > 1
+                         and orient in ("col", "row")) else None)
+        return QTensor(qt.kind, qt.layout, qt.shape,
+                       {k: one(v) for k, v in qt.arrays.items()}, tp, fold)
+
+    def walk(d, orient_of):
+        out = {}
+        for k, v in d.items():
+            if isinstance(v, QTensor):
+                out[k] = put_qt(v, orient_of(k))
+            elif isinstance(v, dict):
+                out[k] = walk(v, orient_of)
+            elif isinstance(v, list):
+                out[k] = [walk(e, orient_of) for e in v]
+            else:
+                out[k] = v
+        return out
+
+    return walk(params, lambda k: _KEY_ORIENT.get(k, "replicated"))
+
+
+def _aval_spec(v, qt: QTensor, orientation: str, mesh: Mesh) -> P:
+    """The spec shard_qtensor.spec_for computes, for arrays or avals."""
+    n_model = mesh.shape.get("model", 1)
+    n_expert = mesh.shape.get("expert", 1)
+    tp: tuple = (None, None)
+    kax, nax = v.ndim - 2, v.ndim - 1
+    if qt.layout == "kmajor" and n_model > 1 and v.ndim >= 2:
+        if orientation == "col" and v.shape[nax] % n_model == 0:
+            tp = (None, "model")
+        elif orientation == "row" and v.shape[kax] % n_model == 0:
+            tp = ("model", None)
+    if v.ndim == 3:
+        e = "expert" if (n_expert > 1 and v.shape[0] % n_expert == 0) else None
+        return P(e, *tp)
+    if v.ndim == 2:
+        return P(*tp)
+    return P()
 
 
 def shard_cache(cache: Any, mesh: Mesh) -> Any:

@@ -20,32 +20,50 @@ def _unpack_codes_kmajor(qt: QTensor) -> jnp.ndarray:
     """Packed arrays -> integer codes [..., K, N] (int8/int32).
 
     Axis -2 is the packed-K axis, so stacked expert tensors [E, K/2, N]
-    unpack the same way as plain [K/2, N] weights."""
+    unpack the same way as plain [K/2, N] weights.
+
+    qt.fold > 1 (quant.repack.refold_kmajor, row-parallel TP shards): the
+    packed-K axis is split into fold blocks and the bit fold is block-local
+    — the concat runs on the within-block axis, so a shard's unpack touches
+    only its own bytes (no cross-shard redistribution)."""
     a = qt.arrays
     kind = qt.kind
+    f = qt.fold or 1
     ax = -2
     if kind in ("q8", "q6w"):
         return a["qs"]
+
+    def blk(x):
+        if f == 1:
+            return x
+        return x.reshape(*x.shape[:-2], f, x.shape[-2] // f, x.shape[-1])
+
+    def merge(q):
+        if f == 1:
+            return q
+        return q.reshape(*q.shape[:-3], q.shape[-3] * q.shape[-2],
+                         q.shape[-1])
+
     if kind in ("q4", "q5", "q6"):
-        qs = a["qs"]
+        qs = blk(a["qs"])
         q = jnp.concatenate([qs & 0xF, qs >> 4], axis=ax)
         if kind == "q5":
-            qh = a["qh"]
+            qh = blk(a["qh"])
             h = jnp.concatenate([(qh >> j) & 1 for j in range(8)], axis=ax)
             q = q | (h << 4)
         elif kind == "q6":
-            qh = a["qh"]
+            qh = blk(a["qh"])
             h = jnp.concatenate([(qh >> (2 * j)) & 3 for j in range(4)], axis=ax)
             q = q | (h << 4)
-        return q
+        return merge(q)
     if kind in ("q2", "q3"):
-        qs = a["qs"]
+        qs = blk(a["qs"])
         q = jnp.concatenate([(qs >> (2 * j)) & 3 for j in range(4)], axis=ax)
         if kind == "q3":
-            qh = a["qh"]
+            qh = blk(a["qh"])
             h = jnp.concatenate([(qh >> j) & 1 for j in range(8)], axis=ax)
             q = q | (h << 2)
-        return q
+        return merge(q)
     raise ValueError(f"unknown kind {kind}")
 
 
@@ -80,7 +98,26 @@ def dequant_kmajor(qt: QTensor, dtype=jnp.float32) -> jnp.ndarray:
         return qt.arrays["w"].T.astype(dtype)
     assert qt.layout == "kmajor", qt.layout
     g = GROUP_SIZE[qt.kind]
-    q = _unpack_codes_kmajor(qt).astype(jnp.float32)
+    q = _unpack_codes_kmajor(qt)
+    if qt.tp in ("col", "row"):
+        # pin the unpacked codes to the loader's TP orientation: the SPMD
+        # partitioner otherwise shards the unpack CONCAT's output along the
+        # concat (K) axis and implements it as a per-layer all_to_all of
+        # the packed codes (found by tools_scale_ready's 70B lowering;
+        # see parallel.sharding.tp_shard_constraints)
+        from tpu_kquant.parallel.sharding import current_tp_ctx
+
+        ctx = current_tp_ctx()
+        if ctx is not None and q.ndim == 2:
+            import jax
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            mesh, axis = ctx
+            spec = (None, axis) if qt.tp == "col" else (axis, None)
+            if q.shape[1 if qt.tp == "col" else 0] % mesh.shape[axis] == 0:
+                q = jax.lax.with_sharding_constraint(
+                    q, NamedSharding(mesh, P(*spec)))
+    q = q.astype(jnp.float32)
     scales, mins = _scales_mins(qt.arrays)
     w = q * jnp.repeat(scales, g, axis=-2)
     if mins is not None:

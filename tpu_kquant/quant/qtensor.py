@@ -40,15 +40,36 @@ class QTensor:
     layout: str
     shape: tuple[int, ...]
     arrays: dict[str, Any]
+    # TP orientation tag ('col' | 'row' | None), set by parallel.sharding
+    # when the tensor is sharded over a mesh: under an active
+    # parallel.tp_shard_constraints context, ops.qmatmul pins the dequanted
+    # weight to this orientation so XLA's SPMD partitioner cannot decide to
+    # reshard packed weights inside the layer loop (tools_scale_ready found
+    # it doing exactly that — per-layer multi-MB weight all_to_alls).
+    tp: str | None = None
+    # bit-fold block count along the packed-K axis. fold=1 is the global
+    # fold documented above (byte k pairs codes k and k + K/2). A row(K)-
+    # parallel TP shard of a fold=1 tensor can NEVER produce a contiguous
+    # K-block of codes locally (its bytes pair k with k + K/2, which lives
+    # on another shard) — XLA implements the unpack as a per-layer
+    # all_to_all of the packed codes. quant.repack.refold_kmajor re-packs
+    # with fold = n_shards so each shard's unpack is fully local; the jnp
+    # unpacker handles any fold, the Pallas kernels require fold == 1
+    # (ops.qmatmul falls back to the XLA path otherwise).
+    fold: int = 1
 
     def tree_flatten(self):
         keys = sorted(self.arrays)
-        return [self.arrays[k] for k in keys], (self.kind, self.layout, self.shape, tuple(keys))
+        return ([self.arrays[k] for k in keys],
+                (self.kind, self.layout, self.shape, tuple(keys), self.tp,
+                 self.fold))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        kind, layout, shape, keys = aux
-        return cls(kind, layout, shape, dict(zip(keys, children)))
+        kind, layout, shape, keys = aux[:4]
+        tp = aux[4] if len(aux) > 4 else None
+        fold = aux[5] if len(aux) > 5 else 1
+        return cls(kind, layout, shape, dict(zip(keys, children)), tp, fold)
 
     @property
     def n_bytes(self) -> int:
@@ -66,4 +87,5 @@ class QTensor:
             k: (v.astype(dtype) if v.dtype in (jnp.float32, jnp.bfloat16, jnp.float16) else v)
             for k, v in self.arrays.items()
         }
-        return QTensor(self.kind, self.layout, self.shape, arrs)
+        return QTensor(self.kind, self.layout, self.shape, arrs, self.tp,
+                       self.fold)

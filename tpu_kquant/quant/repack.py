@@ -210,6 +210,65 @@ def _pack_bits_kmajor(codes_T: np.ndarray, kind: str) -> dict[str, np.ndarray]:
     return out
 
 
+def _unpack_bits_kmajor_np(arrays, kind: str) -> np.ndarray:
+    """Inverse of _pack_bits_kmajor (global fold): packed -> codes (K, N)."""
+    if kind == "q8":
+        return np.asarray(arrays["qs"])
+    if kind in ("q4", "q5", "q6"):
+        qs = np.asarray(arrays["qs"])
+        q = np.concatenate([qs & 0xF, qs >> 4], axis=0)
+        if kind == "q5":
+            qh = np.asarray(arrays["qh"])
+            h = np.concatenate([(qh >> j) & 1 for j in range(8)], axis=0)
+            q = q | (h << 4)
+        elif kind == "q6":
+            qh = np.asarray(arrays["qh"])
+            h = np.concatenate([(qh >> (2 * j)) & 3 for j in range(4)], axis=0)
+            q = q | (h << 4)
+        return q
+    if kind in ("q2", "q3"):
+        qs = np.asarray(arrays["qs"])
+        q = np.concatenate([(qs >> (2 * j)) & 3 for j in range(4)], axis=0)
+        if kind == "q3":
+            qh = np.asarray(arrays["qh"])
+            h = np.concatenate([(qh >> j) & 1 for j in range(8)], axis=0)
+            q = q | (h << 2)
+        return q
+    raise ValueError(f"unknown kind {kind}")
+
+
+def refold_kmajor(qt: QTensor, f: int) -> QTensor:
+    """Re-pack a folded kmajor QTensor with a BLOCK-LOCAL bit fold: the K
+    axis splits into ``f`` contiguous blocks and the nibble/bit fold pairs
+    codes within each block only.
+
+    Why: the default fold is global (byte k pairs codes k and k + K/2), so
+    a row(K)-parallel TP shard holds bytes whose partner codes live on a
+    DIFFERENT shard — XLA's SPMD partitioner then implements the unpack as
+    a per-layer all_to_all of the packed code arrays (multi-MB per layer;
+    found by tools_scale_ready's 70B lowering). With fold = n_shards each
+    shard's unpack is fully local and the row-parallel matmul needs only
+    its Megatron partial-sum all-reduce. Scale/min arrays are per-group in
+    logical K order and shard cleanly either way (untouched here).
+
+    SURVEY.md section 7 hard part 2 ("sharding packed superblocks") — this
+    is the missing half: superblock-aligned *scales* were always safe; the
+    bit fold also has to be shard-local."""
+    if f <= 1 or qt.kind in ("q8", "q6w", "dense") or qt.layout != "kmajor":
+        return qt
+    codes = _unpack_bits_kmajor_np(qt.arrays, qt.kind)  # (K, N)
+    K = codes.shape[0]
+    if K % (f * 256) != 0:  # keep superblocks intact within each block
+        return qt
+    Kb = K // f
+    packs = [_pack_bits_kmajor(codes[b * Kb: (b + 1) * Kb], qt.kind)
+             for b in range(f)]
+    arrays = dict(qt.arrays)
+    for key in packs[0]:
+        arrays[key] = np.concatenate([p[key] for p in packs], axis=0)
+    return QTensor(qt.kind, qt.layout, qt.shape, arrays, qt.tp, fold=f)
+
+
 def pack_scale_pairs(qt: QTensor) -> QTensor:
     """Pack per-group (scale, min) into ONE f32-container array ``sm``:
     low 16 bits = bf16(scale) bits, high 16 bits = bf16(min) bits.

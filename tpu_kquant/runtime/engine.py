@@ -102,6 +102,8 @@ class InferenceEngine:
         fwd = partial(forward_fn or llama_forward, impl=impl)
         if mesh is not None:  # needed only by the MoE a2a dispatch
             fwd = partial(fwd, mesh=mesh)
+        self._fwd = fwd  # raw traced forward (runtime.speculative fuses it
+        #                  into its own device-resident round loop)
 
         @partial(jax.jit, donate_argnums=(3,), static_argnums=(4,))
         def _step(params, tokens, positions, cache, last_only):
