@@ -39,8 +39,8 @@ def test_xplane_reader_on_committed_trace():
 
 
 @pytest.mark.parametrize("kind_mode", [
-    ("q4", "dma"), ("q4", "convert"), ("q4", "full"),
-    ("q6w", "dma"), ("q6w", "full"),
+    ("q4", "dma"), ("q4", "convert"), ("q4", "full"), ("q4", "gdot"),
+    ("q6w", "dma"), ("q6w", "full"), ("q6w", "gdot"),
 ])
 def test_kernel_lab_modes_interpret(kind_mode):
     """Every lab mutation mode lowers and runs (interpret), and the 'full'
@@ -61,7 +61,7 @@ def test_kernel_lab_modes_interpret(kind_mode):
                 geometry="k", interpret=True)
     assert y.shape == (R, N)
     assert np.isfinite(np.asarray(y)).all()
-    if mode == "full":
+    if mode in ("full", "gdot"):
         from tpu_kquant.quant.jnp_codecs import dequant_kmajor
 
         w = np.asarray(dequant_kmajor(qt, dtype=jnp.float32))  # [K, N]

@@ -39,11 +39,14 @@ from tpu_kquant.ops.pallas_dequant import (
     act_quant_to_scratch,
     attn_in_int8_auto,
     fold_dot_mxu,
+    group_dot_enabled,
+    group_scale_dot,
     group_scale_mul_sp,
     group_scale_mulsub,
     int8_group_fold,
     mxu_mins_enabled,
     q4_codes_word,
+    sp_scales,
 )
 from tpu_kquant.quant.qtensor import QTensor
 from tpu_kquant.quant.repack import GROUP_SIZE
@@ -105,7 +108,7 @@ def _decode_sm(sm_block):
     return s, m
 
 
-def _attn_in_kernel(specs, i8, mxu, D, TK2, nk, half_rot, eps, nw_scale,
+def _attn_in_kernel(specs, i8, mxu, gdot, D, TK2, nk, half_rot, eps, nw_scale,
                     *refs):
     """specs: per-weight static descriptors (kind, has_sm, has_mins, has_bias).
 
@@ -191,6 +194,12 @@ def _attn_in_kernel(specs, i8, mxu, D, TK2, nk, half_rot, eps, nw_scale,
                     d = int8_group_fold(
                         xq_scr, xs_scr, gs_scr, goff, TK2 // g,
                         q4_codes_word(qs[0][:], bool(hi)), sc, mn, g)
+                elif gdot:
+                    # per-GROUP scale application (group_dot_enabled): the
+                    # per-code work drops to extract + convert
+                    d = group_scale_dot(x_hi_f if hi else x_lo_f,
+                                        q4_codes_word(qs[0][:], bool(hi)),
+                                        sc, mn, g)
                 elif mxu:
                     # per-code work = extract + convert + scale-mul; min
                     # term via two small MXU passes (fold_dot_mxu)
@@ -206,14 +215,20 @@ def _attn_in_kernel(specs, i8, mxu, D, TK2, nk, half_rot, eps, nw_scale,
         else:
             contrib = None
             for hi, x_chunk in ((0, x_lo), (1, x_hi)):
-                if has_sp:
+                if gdot:
+                    sv = (sp_scales(s[hi][:]) if has_sp
+                          else s[hi][:].astype(jnp.float32))
+                    d = group_scale_dot(x_hi_f if hi else x_lo_f,
+                                        qs[hi][:], sv, None, g)
+                elif has_sp:
                     w = group_scale_mul_sp(qs[hi][:].astype(jnp.float32),
                                            s[hi][:], g)
+                    d = mm(x_chunk, w)
                 else:
                     w = group_scale_mulsub(qs[hi][:].astype(jnp.float32),
                                            s[hi][:].astype(jnp.float32),
                                            None, g)
-                d = mm(x_chunk, w)
+                    d = mm(x_chunk, w)
                 contrib = d if contrib is None else contrib + d
         acc[:] = acc[:] + contrib
 
@@ -243,11 +258,11 @@ def _attn_in_kernel(specs, i8, mxu, D, TK2, nk, half_rot, eps, nw_scale,
     jax.jit,
     static_argnames=("kinds", "keys", "ns", "has_bias", "D", "half_rot",
                      "eps", "nw_scale", "out_dtype", "interpret", "tk", "i8",
-                     "mxu"),
+                     "mxu", "gdot"),
 )
 def _attn_in_call(x2d, norm_w, flat_arrays, cos_full, sin_full, flat_biases,
                   kinds, keys, ns, has_bias, D, half_rot, eps, nw_scale,
-                  out_dtype, interpret, tk, i8=False, mxu=False):
+                  out_dtype, interpret, tk, i8=False, mxu=False, gdot=False):
     R = x2d.shape[0]
     nw2d = norm_w.reshape(1, D)
     i8 = i8 and "q4" in kinds
@@ -320,8 +335,8 @@ def _attn_in_call(x2d, norm_w, flat_arrays, cos_full, sin_full, flat_biases,
                                          memory_space=pltpu.VMEM))
             inputs.append(next(bi).reshape(1, ns[i]))
 
-    kernel = functools.partial(_attn_in_kernel, tuple(specs), i8, mxu, D,
-                               TK2, nk, half_rot, eps, nw_scale)
+    kernel = functools.partial(_attn_in_kernel, tuple(specs), i8, mxu, gdot,
+                               D, TK2, nk, half_rot, eps, nw_scale)
     bytes_accessed = sum(
         v.size * v.dtype.itemsize for v in flat_arrays
     ) + 2 * R * D + 2 * R * sum(ns) + 8 * R * n0
@@ -386,6 +401,16 @@ def fused_attn_in(
     D = x.shape[-1]
     lead = x.shape[:-1]
     x2d = x.reshape(-1, D)
+    if (biases is None or all(b is None for b in biases)) and \
+            manual_attn_in_enabled(ws, None, x2d.shape[0]) and not interpret:
+        n0, n1 = int(ws[0].shape[0]), int(ws[1].shape[0])
+        o0, o1 = _attn_in_manual_call(
+            x2d, norm_w, ws[0].arrays["qs"], ws[0].arrays["sm"],
+            ws[1].arrays["qs"], ws[1].arrays["sp"], cos_full, sin_full,
+            n0, n1, D, half_rot, float(eps), float(nw_scale),
+            jnp.dtype(out_dtype).name, interpret,
+            int(__import__("os").environ.get("TKQ_MANUAL_TK", "256")))
+        return (o0.reshape(*lead, n0), o1.reshape(*lead, n1))
     biases = biases or [None] * len(ws)
     kinds = tuple(w.kind for w in ws)
     keys = tuple(tuple(sorted(w.arrays)) for w in ws)
@@ -400,5 +425,195 @@ def fused_attn_in(
         i8=attn_in_int8_auto(max(
             (n for w, n in zip(ws, ns) if w.kind == "q4"), default=0)),
         mxu=mxu_mins_enabled(),
+        gdot=group_dot_enabled(x2d.shape[0]),
     )
     return tuple(o.reshape(*lead, n) for o, n in zip(outs, ns))
+
+
+# ---------------------------------------------------------------------------
+# MANUAL-pipeline variant (r5): hand-rolled double-buffered DMA.
+#
+# Kernel-lab finding (r5, same-session 8B ladders): Mosaic's automatic grid
+# pipeline does NOT overlap the VPU dequant chain with the weight DMA
+# (r4 finding 4), but a manual fori_loop that STARTS chunk i+1's async
+# copies before computing chunk i does — wqk full-chain 29.9 us (Mosaic
+# kgrid) -> 21.4 (manual, tk=256), gu 159.7 -> 106.1. This variant applies
+# that structure to the whole attention-input megakernel for the dominant
+# production layout (q4-sm wqk + flat-sp wv, no biases); other layouts fall
+# back to the Mosaic-grid kernel above.
+# ---------------------------------------------------------------------------
+
+
+def _attn_in_manual_kernel(D, TK2, nk, half_rot, eps, nw_scale, n0, n1, g4,
+                           g6, x_ref, nw_ref, cos_ref, sin_ref,
+                           qk_qs, qk_sm, v_qs, v_sp, out0, out1, bqk, bsm,
+                           bsmh, bvlo, bvhi, bsplo, bsphi, acc0, acc1, sems):
+    """Weights stay in HBM (ANY); 6 double-buffered streams. Chunk i covers
+    packed wqk rows [i*TK2, (i+1)*TK2) == elements i*TK2 (lo fold) and
+    + D/2 (hi fold); wv (flat) fetches both element ranges as row blocks."""
+    from tpu_kquant.ops.pallas_dequant import fold_dot_mxu, group_scale_mul_sp
+
+    sgq = TK2 // g4          # q4 sm rows per chunk
+    sgp = TK2 // (2 * g6)    # sp rows per chunk (adjacent-pair packed)
+    hoff = (D // 2) // TK2   # hi-fold chunk offset in packed rows
+
+    def copies(i, slot):
+        return (
+            pltpu.make_async_copy(qk_qs.at[pl.ds(i * TK2, TK2)],
+                                  bqk.at[slot], sems.at[slot, 0]),
+            pltpu.make_async_copy(qk_sm.at[pl.ds(i * sgq, sgq)],
+                                  bsm.at[slot], sems.at[slot, 1]),
+            pltpu.make_async_copy(
+                qk_sm.at[pl.ds((D // 2) // g4 + i * sgq, sgq)],
+                bsmh.at[slot], sems.at[slot, 6]),
+            pltpu.make_async_copy(v_qs.at[pl.ds(i * TK2, TK2)],
+                                  bvlo.at[slot], sems.at[slot, 2]),
+            pltpu.make_async_copy(v_qs.at[pl.ds(D // 2 + i * TK2, TK2)],
+                                  bvhi.at[slot], sems.at[slot, 3]),
+            pltpu.make_async_copy(v_sp.at[pl.ds(i * sgp, sgp)],
+                                  bsplo.at[slot], sems.at[slot, 4]),
+            pltpu.make_async_copy(
+                v_sp.at[pl.ds((D // 2) // (2 * g6) + i * sgp, sgp)],
+                bsphi.at[slot], sems.at[slot, 5]),
+        )
+
+    def start(i, slot):
+        for c in copies(i, slot):
+            c.start()
+
+    def wait(i, slot):
+        for c in copies(i, slot):
+            c.wait()
+
+    xf = x_ref[:].astype(jnp.float32)
+    rstd = jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)
+
+    acc0[:] = jnp.zeros_like(acc0)
+    acc1[:] = jnp.zeros_like(acc1)
+    start(0, 0)
+
+    def body(i, carry):
+        slot = jax.lax.rem(i, 2)
+        nslot = jax.lax.rem(i + 1, 2)
+
+        @pl.when(i + 1 < nk)
+        def _():
+            start(i + 1, nslot)
+
+        wait(i, slot)
+
+        def xchunk(off):
+            xs = x_ref[:, pl.ds(off, TK2)].astype(jnp.float32)
+            nws = nw_ref[:, pl.ds(off, TK2)].astype(jnp.float32) + nw_scale
+            return xs * rstd * nws
+
+        x_lo = xchunk(i * TK2)
+        x_hi = xchunk(D // 2 + i * TK2)
+        a0 = None
+        for hi, xc, smref in ((0, x_lo, bsm), (1, x_hi, bsmh)):
+            s, m = _decode_sm(smref[slot])
+            d = fold_dot_mxu(xc, q4_codes_word(bqk[slot], bool(hi)), s, m, g4)
+            a0 = d if a0 is None else a0 + d
+        acc0[:] = acc0[:] + a0
+
+        a1 = None
+        for xc, qref, spref in ((x_lo, bvlo, bsplo), (x_hi, bvhi, bsphi)):
+            w = group_scale_mul_sp(qref[slot].astype(jnp.float32),
+                                   spref[slot], g6)
+            d = jax.lax.dot_general(
+                xc, w, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            a1 = d if a1 is None else a1 + d
+        acc1[:] = acc1[:] + a1
+        return carry
+
+    jax.lax.fori_loop(0, nk, body, 0)
+
+    # epilogue: bf16 rounding parity with the unfused path, then NEOX rope
+    y = acc0[:].astype(jnp.bfloat16).astype(jnp.float32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, y.shape, 1)
+    first = (lane % (2 * half_rot)) < half_rot
+    n = y.shape[-1]
+    rot = jnp.where(first, -pltpu.roll(y, n - half_rot, 1),
+                    pltpu.roll(y, half_rot, 1))
+    y = y * cos_ref[:] + rot * sin_ref[:]
+    out0[:] = y.astype(out0.dtype)
+    out1[:] = acc1[:].astype(jnp.bfloat16).astype(out1.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n0", "n1", "D", "half_rot", "eps", "nw_scale",
+                     "out_dtype", "interpret", "tk"),
+)
+def _attn_in_manual_call(x2d, norm_w, qk_qs, qk_sm, v_qs, v_sp, cos_full,
+                         sin_full, n0, n1, D, half_rot, eps, nw_scale,
+                         out_dtype, interpret, tk):
+    R = x2d.shape[0]
+    g4, g6 = 32, 16
+    TK2 = tk
+    while (D // 2) % TK2:
+        TK2 //= 2
+    nk = (D // 2) // TK2
+    sgq = TK2 // g4
+    sgp = TK2 // (2 * g6)
+
+    # callers may pass wider tables (the Mosaic kernel's BlockSpec takes the
+    # first n0 columns implicitly); match that here
+    cos_full = cos_full[:, :n0]
+    sin_full = sin_full[:, :n0]
+    kernel = functools.partial(_attn_in_manual_kernel, D, TK2, nk, half_rot,
+                               eps, nw_scale, n0, n1, g4, g6)
+    outs = pl.pallas_call(
+        kernel,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # x
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # norm_w
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # cos
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # sin
+            pl.BlockSpec(memory_space=pltpu.ANY),   # qk qs
+            pl.BlockSpec(memory_space=pltpu.ANY),   # qk sm
+            pl.BlockSpec(memory_space=pltpu.ANY),   # v qs
+            pl.BlockSpec(memory_space=pltpu.ANY),   # v sp
+        ],
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+        out_shape=[jax.ShapeDtypeStruct((R, n0), jnp.dtype(out_dtype)),
+                   jax.ShapeDtypeStruct((R, n1), jnp.dtype(out_dtype))],
+        scratch_shapes=[
+            pltpu.VMEM((2, TK2, n0), qk_qs.dtype),
+            pltpu.VMEM((2, sgq, n0), jnp.float32),
+            pltpu.VMEM((2, sgq, n0), jnp.float32),
+            pltpu.VMEM((2, TK2, n1), v_qs.dtype),
+            pltpu.VMEM((2, TK2, n1), v_qs.dtype),
+            pltpu.VMEM((2, sgp, n1), jnp.float32),
+            pltpu.VMEM((2, sgp, n1), jnp.float32),
+            pltpu.VMEM((R, n0), jnp.float32),
+            pltpu.VMEM((R, n1), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 7)),
+        ],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(x2d, norm_w.reshape(1, D), cos_full, sin_full, qk_qs, qk_sm, v_qs, v_sp)
+    return tuple(outs)
+
+
+def manual_attn_in_enabled(ws: list[QTensor], biases, rows: int) -> bool:
+    """Manual-pipeline dispatch: exactly the (q4-sm wqk, flat-sp wv) pair,
+    no biases, decode rows. TKQ_MANUAL_ATTN_IN=0 restores the Mosaic grid."""
+    import os
+
+    if os.environ.get("TKQ_MANUAL_ATTN_IN", "1") != "1":
+        return False
+    if rows > 8 or biases is not None:
+        return False
+    if len(ws) != 2:
+        return False
+    if ws[0].kind != "q4" or "sm" not in ws[0].arrays:
+        return False
+    if ws[1].kind not in _FLAT_KINDS or "sp" not in ws[1].arrays:
+        return False
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:  # pragma: no cover
+        return False

@@ -189,6 +189,83 @@ def fold_dot_mxu(x_f32, codes_i8, s, m, g: int,
     return d
 
 
+def group_dot_enabled(rows: int) -> bool:
+    """Per-group scale application via group_scale_dot in the decode
+    megakernels. Default OFF — a documented negative result, the same
+    pattern as the int8 folds: the standalone kgrid ladders win big (r5,
+    same-session 8B: wqk full 29.9 us -> gdot 24.2; gu t=256 full 149.8 ->
+    gdot 110.9, 59.8%% -> 80.8%% HBM, vs the OLD full chain), but the
+    production megakernels already run the mxu-mins/f32-dot combo chain,
+    and against IT gdot measured a wash on attn_in (32.3 vs 32.9) and a
+    consistent ~14 us LOSS on the 8B ffn megakernel (two A/B pairs:
+    207.4/222.1 and 193.1/206.6 off/on). TKQ_GROUP_SCALE=1 re-enables for
+    re-measurement at decode rows."""
+    import os
+
+    v = os.environ.get("TKQ_GROUP_SCALE", "0")
+    if v == "1":
+        return rows <= 8
+    return False
+
+
+def sp_scales(sp_block) -> jnp.ndarray:
+    """Adjacent-group bf16 scale pairs [G/2, TN] f32-container -> [G, TN]
+    f32 scales (the group_scale_mul_sp unpack, without the code multiply —
+    for callers that consume scales per GROUP, e.g. group_scale_dot)."""
+    bits = jax.lax.bitcast_convert_type(sp_block, jnp.int32)
+    e = jax.lax.bitcast_convert_type(bits << 16, jnp.float32)
+    o = jax.lax.bitcast_convert_type(bits & jnp.int32(-65536), jnp.float32)
+    return jnp.stack([e, o], axis=1).reshape(-1, sp_block.shape[-1])
+
+
+def group_scale_dot(x_f32, codes_i8, s, m, g: int,
+                    t_f32=None, xp=None) -> jnp.ndarray:
+    """One fold's [R, TN] f32 partial with the scale applied PER GROUP
+    instead of per code: the VPU cost of the chain drops from ~TK*TN
+    (scale-mul every element) to ~2*G*R*TN (one mul+add per group per
+    output), with the group dots riding the idle-at-decode MXU.
+
+      X'[g*R+r, k] = x[r, k] * (k//g == g)      (masked block-diagonal x)
+      partial      = X' @ codes                  [G*R, TN]  (ONE plain dot)
+      out[r, n]    = sum_g s[g, n] * partial[g*R+r, n]  - (x@G) @ m
+
+    Unlike int8_group_fold's batched per-group matvecs (measured negative
+    in the megakernels), the group dots here are ONE standard matmul whose
+    row count G*R (e.g. 64 at TK=2048, R=1) still fits a single MXU tile
+    pass — at decode rows the extra MXU work is free. Codes feed the dot
+    as f32 (exact: values <= 63 are exact in bf16, and the MXU's default
+    precision rounds inputs itself — the mxu_mins_enabled rationale).
+
+    Numerics: the scale now multiplies the group PARTIAL (one f32 product
+    per group) instead of each code before the dot — within the kernels'
+    parity tolerances, slightly FEWER roundings than the per-element form.
+    """
+    R, TK = x_f32.shape
+    TN = codes_i8.shape[-1]
+    G = TK // g
+    if xp is None:
+        xp = masked_groups(x_f32, g)
+    partial = _dot_f32(xp, codes_i8.astype(jnp.float32))  # [G*R, TN]
+    out = jnp.sum(partial.reshape(G, R, TN) * s[:, None, :], axis=0)
+    if m is not None:
+        t = t_f32 if t_f32 is not None else _dot_f32(x_f32, group_gmat(TK, g))
+        out = out - _dot_f32(t, m)
+    return out
+
+
+def masked_groups(x_f32, g: int) -> jnp.ndarray:
+    """The block-diagonal X' for group_scale_dot: [G*R, TK] with row
+    g*R + r = x[r] masked to group g. Grid-invariant callers (the FFN
+    F-tiled phases, whose x is the same every step) build it ONCE into a
+    VMEM scratch at step 0 — rebuilding per tile measured away the whole
+    gdot win in the lab's ngrid geometry."""
+    R, TK = x_f32.shape
+    G = TK // g
+    rowg = jax.lax.broadcasted_iota(jnp.int32, (G * R, TK), 0) // R
+    colg = jax.lax.broadcasted_iota(jnp.int32, (G * R, TK), 1) // g
+    return jnp.where(rowg == colg, jnp.tile(x_f32, (G, 1)), 0.0)
+
+
 def act_quant_to_scratch(xn_f32, xq_scr, xs_scr, gs_scr, g: int) -> None:
     """Quantize a [R, K] f32 activation row-block into group-major int8
     scratch: xq [K/g, g, R] i8, xs [K/g, R] f32 scales, gs [K/g, R] f32

@@ -38,12 +38,16 @@ from jax.experimental.pallas import tpu as pltpu
 from tpu_kquant.ops.pallas_dequant import (
     act_quant_to_scratch,
     fold_dot_mxu,
+    group_dot_enabled,
+    group_scale_dot,
     group_scale_mul_sp,
     group_scale_mulsub,
     int8_folds_enabled,
     int8_group_fold,
+    masked_groups,
     mxu_mins_enabled,
     q4_codes_word,
+    sp_scales,
 )
 from tpu_kquant.quant.qtensor import QTensor
 from tpu_kquant.quant.repack import GROUP_SIZE
@@ -111,8 +115,8 @@ def _decode_sm(sm_block):
     return s, m
 
 
-def _ffn_kernel(gu_kind, dn_kind, gu_sm, gu_sp, gu_mins, dn_sp, i8, mxu, D,
-                F, TF, nf, eps, act_fn, *refs):
+def _ffn_kernel(gu_kind, dn_kind, gu_sm, gu_sp, gu_mins, dn_sp, i8, mxu,
+                gdot, D, F, TF, nf, eps, act_fn, *refs):
     it = iter(refs)
     x_ref = next(it)
     nw_ref = next(it)
@@ -128,6 +132,7 @@ def _ffn_kernel(gu_kind, dn_kind, gu_sm, gu_sp, gu_mins, dn_sp, i8, mxu, D,
     acc = next(it)
     if i8:
         xq_scr, xs_scr, gs_scr = next(it), next(it), next(it)
+    xp_scr = next(it) if gdot else None
 
     j = pl.program_id(0)
     g4 = GROUP_SIZE[gu_kind]
@@ -135,6 +140,17 @@ def _ffn_kernel(gu_kind, dn_kind, gu_sm, gu_sp, gu_mins, dn_sp, i8, mxu, D,
     @pl.when(j == 0)
     def _():
         acc[:] = jnp.zeros_like(acc)
+        if gdot:
+            # grid-invariant X' (masked block-diagonal normed x) built ONCE:
+            # the F-tiled grid reuses it every step (pallas_dequant
+            # .masked_groups rationale)
+            xf0 = x_ref[:].astype(jnp.float32)
+            var0 = jnp.mean(xf0 * xf0, axis=-1, keepdims=True)
+            xn0 = xf0 * jax.lax.rsqrt(var0 + eps) * nw_ref[:].astype(
+                jnp.float32)
+            rows_h = xp_scr.shape[0] // 2
+            xp_scr[:rows_h] = masked_groups(xn0[:, : D // 2], g4)
+            xp_scr[rows_h:] = masked_groups(xn0[:, D // 2:], g4)
         if i8:
             # int8 folds: norm + Q8_K-style activation quant ONCE into
             # scratch; every gate/up chunk then runs int8 group dots
@@ -186,6 +202,12 @@ def _ffn_kernel(gu_kind, dn_kind, gu_sm, gu_sp, gu_mins, dn_sp, i8, mxu, D,
                 d = int8_group_fold(
                     xq_scr, xs_scr, gs_scr, half_g if hi else 0, half_g,
                     q4_codes_word(qs_ref[:], hi), s_h, m_h, g)
+            elif gdot:
+                rows_h = xp_scr.shape[0] // 2
+                d = group_scale_dot(
+                    xn[:, D // 2:] if hi else xn[:, : D // 2],
+                    q4_codes_word(qs_ref[:], hi), s_h, m_h, g,
+                    xp=xp_scr[rows_h:] if hi else xp_scr[:rows_h])
             elif mxu:
                 d = fold_dot_mxu(xn[:, D // 2:] if hi else xn[:, : D // 2],
                                  q4_codes_word(qs_ref[:], hi), s_h, m_h, g)
@@ -211,17 +233,25 @@ def _ffn_kernel(gu_kind, dn_kind, gu_sm, gu_sp, gu_mins, dn_sp, i8, mxu, D,
 
     # down chunk: rows [j*TF, (j+1)*TF) of the flat [F, D] codes
     gd = GROUP_SIZE[dn_kind]
-    if dn_sp:
-        wd = group_scale_mul_sp(d_qs[:].astype(jnp.float32), d_s[:], gd)
+    if gdot and dn_kind in _FLAT_KINDS:
+        # per-group scales on the down dot too: a changes per chunk, so X'
+        # builds inline (TF-sized — cheap, unlike the gu full-D case)
+        sv = (sp_scales(d_s[:]) if dn_sp
+              else d_s[:].astype(jnp.float32))
+        acc[:] = acc[:] + group_scale_dot(
+            a.astype(jnp.float32), d_qs[:], sv, None, gd)
     else:
-        wd = group_scale_mulsub(d_qs[:].astype(jnp.float32),
-                                d_s[:].astype(jnp.float32), None, gd)
-    acc[:] = acc[:] + jax.lax.dot_general(
-        a.astype(jnp.float32) if mxu else a,
-        wd if mxu else wd.astype(jnp.bfloat16),
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+        if dn_sp:
+            wd = group_scale_mul_sp(d_qs[:].astype(jnp.float32), d_s[:], gd)
+        else:
+            wd = group_scale_mulsub(d_qs[:].astype(jnp.float32),
+                                    d_s[:].astype(jnp.float32), None, gd)
+        acc[:] = acc[:] + jax.lax.dot_general(
+            a.astype(jnp.float32) if mxu else a,
+            wd if mxu else wd.astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
 
     @pl.when(j == nf - 1)
     def _():
@@ -232,11 +262,11 @@ def _ffn_kernel(gu_kind, dn_kind, gu_sm, gu_sp, gu_mins, dn_sp, i8, mxu, D,
     jax.jit,
     static_argnames=("gu_kind", "dn_kind", "gu_keys", "dn_keys", "D", "F",
                      "eps", "act_fn", "out_dtype", "interpret", "tf", "i8",
-                     "mxu"),
+                     "mxu", "gdot"),
 )
 def _ffn_call(x2d, norm_w, gu_arrays, dn_arrays, gu_kind, dn_kind, gu_keys,
               dn_keys, D, F, eps, act_fn, out_dtype, interpret, tf, i8=False,
-              mxu=False):
+              mxu=False, gdot=False):
     gu = dict(zip(gu_keys, gu_arrays))
     dn = dict(zip(dn_keys, dn_arrays))
     R = x2d.shape[0]
@@ -249,6 +279,7 @@ def _ffn_call(x2d, norm_w, gu_arrays, dn_arrays, gu_kind, dn_kind, gu_keys,
     g4 = GROUP_SIZE[gu_kind]
     gd = GROUP_SIZE[dn_kind]
     i8 = i8 and gu_kind == "q4"
+    gdot = gdot and gu_kind == "q4" and mxu and not i8
 
     x_spec = pl.BlockSpec((R, D), lambda j: (0, 0), memory_space=pltpu.VMEM)
     nw_spec = pl.BlockSpec((1, D), lambda j: (0, 0), memory_space=pltpu.VMEM)
@@ -282,8 +313,8 @@ def _ffn_call(x2d, norm_w, gu_arrays, dn_arrays, gu_kind, dn_kind, gu_keys,
     inputs.append(dn["sp"] if dn_sp else dn["scales"])
 
     kernel = functools.partial(_ffn_kernel, gu_kind, dn_kind, gu_sm, gu_sp,
-                               gu_mins, dn_sp, i8, mxu, D, F, TF, nf, eps,
-                               act_fn)
+                               gu_mins, dn_sp, i8, mxu, gdot, D, F, TF, nf,
+                               eps, act_fn)
     bytes_accessed = (
         sum(v.size * v.dtype.itemsize for v in gu.values())
         + sum(v.size * v.dtype.itemsize for v in dn.values())
@@ -294,6 +325,9 @@ def _ffn_call(x2d, norm_w, gu_arrays, dn_arrays, gu_kind, dn_kind, gu_keys,
         scratch += [pltpu.VMEM((D // g4, g4, R), jnp.int8),
                     pltpu.VMEM((D // g4, R), jnp.float32),
                     pltpu.VMEM((D // g4, R), jnp.float32)]
+    if gdot:
+        scratch.append(
+            pltpu.VMEM((2 * ((D // 2) // g4) * R, D // 2), jnp.float32))
     y = pl.pallas_call(
         kernel,
         grid=(nf,),
@@ -337,6 +371,7 @@ def fused_ffn(
         tuple(dn.arrays[k] for k in dn_keys), gu.kind, dn.kind, gu_keys,
         dn_keys, D, F, float(eps), act_fn, jnp.dtype(out_dtype).name,
         interpret, tf, i8=int8_folds_enabled(), mxu=mxu_mins_enabled(),
+        gdot=group_dot_enabled(x2d.shape[0]),
     )
     return y.reshape(*lead, D)
 

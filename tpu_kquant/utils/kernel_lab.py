@@ -37,6 +37,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from tpu_kquant.ops.pallas_dequant import (
+    group_scale_dot,
     group_scale_mul_sp,
     group_scale_mulsub,
     q4_codes_word,
@@ -44,7 +45,10 @@ from tpu_kquant.ops.pallas_dequant import (
 from tpu_kquant.quant.qtensor import QTensor
 from tpu_kquant.quant.repack import GROUP_SIZE
 
-MODES = ("dma", "extract", "convert", "bf16c", "full")
+# gdot (r5): the full chain but with the scale applied per GROUP after a
+# masked block-diagonal dot (pallas_dequant.group_scale_dot) — candidate
+# replacement for the per-element scale-mul, the chain's dominant VPU term
+MODES = ("dma", "extract", "convert", "bf16c", "full", "gdot")
 
 _VMEM_LIMIT = 100 * 1024 * 1024
 
@@ -110,7 +114,7 @@ def _kgrid_kernel(mode, kind, s_fmt, TK2, nk, g, *refs):
         qs = (next(it),)
     else:
         qs = (next(it), next(it))
-    have_s = mode in ("bf16c", "full")
+    have_s = mode in ("bf16c", "full", "gdot")
     s = (next(it), next(it)) if have_s else (None, None)
     out = next(it)
     acc = next(it)
@@ -120,6 +124,31 @@ def _kgrid_kernel(mode, kind, s_fmt, TK2, nk, g, *refs):
     @pl.when(k == 0)
     def _():
         acc[:] = jnp.zeros_like(acc)
+
+    if mode == "gdot":
+        from tpu_kquant.ops.pallas_dequant import sp_scales
+
+        contrib = None
+        for hi, x_chunk in ((0, x_lo), (1, x_hi)):
+            q_ref = qs[0] if kind == "q4" else qs[hi]
+            codes = (q4_codes_word(q_ref[:], bool(hi)) if kind == "q4"
+                     else q_ref[:])
+            if s_fmt == "sm":
+                sv, mv = _decode_sm(s[hi][:])
+            elif s_fmt == "sp":
+                sv, mv = sp_scales(s[hi][:]), None
+            else:
+                sv, mv = s[hi][:].astype(jnp.float32), None
+            d = group_scale_dot(x_chunk[:].astype(jnp.float32), codes,
+                                sv, mv, g)
+            contrib = d if contrib is None else contrib + d
+        acc[:] = acc[:] + contrib
+
+        @pl.when(k == nk - 1)
+        def _():
+            out[:] = acc[:].astype(out.dtype)
+
+        return
 
     if mode == "dma":
         # consume every packed byte through the MXU, zero VPU work
@@ -156,9 +185,18 @@ def _ngrid_kernel(mode, kind, s_fmt, K, g, *refs):
     x = next(it)
     xi8 = next(it)
     qs = next(it)
-    have_s = mode in ("bf16c", "full")
+    have_s = mode in ("bf16c", "full", "gdot")
     s = next(it) if have_s else None
     out = next(it)
+
+    def _gdot_sm(sref):
+        from tpu_kquant.ops.pallas_dequant import sp_scales
+
+        if s_fmt == "sm":
+            return _decode_sm(sref[:])
+        if s_fmt == "sp":
+            return sp_scales(sref[:]), None
+        return sref[:].astype(jnp.float32), None
 
     if mode == "dma":
         xi = xi8[:, : K // 2] if kind == "q4" else xi8[:]
@@ -168,7 +206,13 @@ def _ngrid_kernel(mode, kind, s_fmt, K, g, *refs):
     if kind == "q4":
         contrib = None
         for hi in (0, 1):
-            if mode == "extract":
+            if mode == "gdot":
+                sv, mv = _gdot_sm(_SliceRef(s, hi, K, g, s_fmt))
+                d = group_scale_dot(
+                    (x[:, : K // 2] if hi == 0 else x[:, K // 2:]
+                     ).astype(jnp.float32),
+                    q4_codes_word(qs[:], bool(hi)), sv, mv, g)
+            elif mode == "extract":
                 w, _ = _dequant_fold(kind, s_fmt, qs, None, hi, g, mode)
                 d = _mm(xi8[:, : K // 2] if hi == 0 else xi8[:, K // 2:],
                         w, jnp.int32).astype(jnp.float32)
@@ -181,6 +225,11 @@ def _ngrid_kernel(mode, kind, s_fmt, K, g, *refs):
     else:
         if mode == "extract":
             out[:] = _mm(xi8[:], qs[:], jnp.int32).astype(out.dtype)
+            return
+        if mode == "gdot":
+            sv, mv = _gdot_sm(_WholeRef(s))
+            out[:] = group_scale_dot(x[:].astype(jnp.float32), qs[:],
+                                     sv, mv, g).astype(out.dtype)
             return
         sref = _WholeRef(s) if have_s else None
         w, _ = _dequant_fold(kind, s_fmt, qs, sref, 0, g, mode)
@@ -222,7 +271,7 @@ def lab_qmm(x, xi8, arrays, mode, kind, s_fmt, keys, N, K, tk, geometry="k",
     a = dict(zip(keys, arrays))
     R = x.shape[0]
     g = GROUP_SIZE[kind]
-    have_s = mode in ("bf16c", "full")
+    have_s = mode in ("bf16c", "full", "gdot")
     s_key = {"sm": "sm", "sp": "sp"}.get(s_fmt, "scales")
 
     if geometry == "n":
@@ -309,7 +358,8 @@ def lab_qmm(x, xi8, arrays, mode, kind, s_fmt, keys, N, K, tk, geometry="k",
 def lab_bytes(qt: QTensor, mode: str) -> int:
     """Bytes the given mode actually streams (scale planes only reach the
     kernel for bf16c/full)."""
-    keep = qt.arrays if mode in ("bf16c", "full") else {"qs": qt.arrays["qs"]}
+    keep = (qt.arrays if mode in ("bf16c", "full", "gdot")
+            else {"qs": qt.arrays["qs"]})
     return sum(int(v.size) * v.dtype.itemsize for v in keep.values())
 
 
@@ -361,3 +411,126 @@ def run_ladder(qt: QTensor, s_fmt: str, R: int = 1, tks=(256, 512, 1024),
                          tile=tsz, mode=mode)
                 rows.append(r)
     return rows
+
+
+# ---------------------------------------------------------------------------
+# MANUAL double-buffered pipeline (r5): does a hand-rolled DMA loop overlap
+# the VPU dequant chain with the weight stream where Mosaic's automatic grid
+# pipeline does not (finding 4)? Weights live in ANY/HBM; the kernel runs a
+# fori_loop that starts chunk i+1's async copy BEFORE computing chunk i.
+# ---------------------------------------------------------------------------
+
+
+def _manual_kernel(mode, s_fmt, TK2, nk, g, K, x_ref, qs_hbm, s_hbm,
+                   out_ref, buf, sbuf, acc, sem, ssem):
+    sg = TK2 // g
+
+    def start(i, slot):
+        pltpu.make_async_copy(qs_hbm.at[pl.ds(i * TK2, TK2)],
+                              buf.at[slot], sem.at[slot]).start()
+        if mode != "dma":
+            pltpu.make_async_copy(s_hbm.at[pl.ds(i * sg, sg)],
+                                  sbuf.at[slot], ssem.at[slot]).start()
+
+    def wait(i, slot):
+        pltpu.make_async_copy(qs_hbm.at[pl.ds(i * TK2, TK2)],
+                              buf.at[slot], sem.at[slot]).wait()
+        if mode != "dma":
+            pltpu.make_async_copy(s_hbm.at[pl.ds(i * sg, sg)],
+                                  sbuf.at[slot], ssem.at[slot]).wait()
+
+    acc[:] = jnp.zeros_like(acc)
+    start(0, 0)
+
+    def body(i, carry):
+        slot = jax.lax.rem(i, 2)
+        nslot = jax.lax.rem(i + 1, 2)
+
+        @pl.when(i + 1 < nk)
+        def _():
+            start(i + 1, nslot)
+
+        wait(i, slot)
+        qs_tile = buf[slot]
+        if mode == "dma":
+            xi = jnp.ones((acc.shape[0], TK2), jnp.int8)
+            d = jax.lax.dot_general(
+                xi, pltpu.bitcast(qs_tile, jnp.int8),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            acc[:] = acc[:] + d.astype(jnp.float32)
+            return carry
+        if s_fmt == "sm":
+            s, m = _decode_sm(sbuf[slot])
+        else:
+            s, m = sbuf[slot], None
+        contrib = None
+        for hi in (0, 1):
+            codes = q4_codes_word(qs_tile, bool(hi))
+            x_chunk = x_ref[:, pl.ds((K // 2 if hi else 0), TK2)]
+            # production mxu-combo chain: f32 scale-mul + f32 dot, mins on
+            # the MXU (fold_dot_mxu equivalent, inlined to avoid imports)
+            qf = codes.astype(jnp.float32)
+            TKc, TN = qf.shape
+            w = (qf.reshape(TKc // g, g, TN) * s[:, None, :]).reshape(TKc, TN)
+            d = jax.lax.dot_general(
+                x_chunk.astype(jnp.float32), w,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            if m is not None:
+                from tpu_kquant.ops.pallas_dequant import group_gmat
+
+                t = jax.lax.dot_general(
+                    x_chunk.astype(jnp.float32), group_gmat(TKc, g),
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                d = d - jax.lax.dot_general(
+                    t, m, dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            contrib = d if contrib is None else contrib + d
+        acc[:] = acc[:] + contrib
+        return carry
+
+    jax.lax.fori_loop(0, nk, body, 0)
+    out_ref[:] = acc[:].astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mode", "s_fmt", "keys", "N", "K", "tk", "interpret"),
+)
+def lab_qmm_manual(x, arrays, mode, s_fmt, keys, N, K, tk, interpret=False):
+    """Manual-pipeline measurement: q4 kinds only, kgrid geometry. x [R, K]
+    bf16. Weights stay in HBM (ANY); the kernel DMAs chunks itself."""
+    a = dict(zip(keys, arrays))
+    R = x.shape[0]
+    g = GROUP_SIZE["q4"]
+    TK2 = tk
+    while (K // 2) % TK2:
+        TK2 //= 2
+    nk = (K // 2) // TK2
+    sg = TK2 // g
+    s_key = "sm" if s_fmt == "sm" else "scales"
+
+    kernel = functools.partial(_manual_kernel, mode, s_fmt, TK2, nk, g, K)
+    out = pl.pallas_call(
+        kernel,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((R, N), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, TK2, N), jnp.uint8),
+            pltpu.VMEM((2, sg, N), jnp.float32),
+            pltpu.VMEM((R, N), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(x, a["qs"], a[s_key])
+    return out
