@@ -48,8 +48,11 @@ def main():
     ap.add_argument("--preset", default="tinyllama-1.1b",
                     choices=["tinyllama-1.1b", "llama3-8b"])
     ap.add_argument("--batch", type=int, nargs="+", default=[8, 16])
-    ap.add_argument("--requests", type=int, default=48,
-                    help="total requests per batch-size run")
+    ap.add_argument("--requests", type=int, default=0,
+                    help="total requests per batch-size run (0 = 4*B, so "
+                         "the steady state actually saturates the batch)")
+    ap.add_argument("--kv-int8", action="store_true",
+                    help="serve over the int8-quantized KV cache")
     ap.add_argument("--prompt-len", type=int, default=64)
     ap.add_argument("--gen-len", type=int, default=48)
     ap.add_argument("--temperature", type=float, default=0.8)
@@ -84,9 +87,10 @@ def main():
     rng = np.random.default_rng(0)
     rows = []
     for B in args.batch:
+        n_req = args.requests or 4 * B
         max_seq = args.prompt_len + args.gen_len + 16
         eng = InferenceEngine(cfg, params, max_batch=B, max_seq=max_seq,
-                              impl=args.impl)
+                              impl=args.impl, kv_quantized=args.kv_int8)
         cb = ContinuousBatcher(eng, seed=0)
 
         def mk_req(i):
@@ -110,12 +114,12 @@ def main():
         cb.stats = {k: 0 if not isinstance(v, float) else 0.0
                     for k, v in cb.stats.items()}
 
-        for i in range(args.requests):
+        for i in range(n_req):
             cb.submit(mk_req(i))
         t0 = time.time()
         done = cb.run()
         wall = time.time() - t0
-        assert len(done) == args.requests
+        assert len(done) == n_req
         rep = cb.report()
         # multi-tick chunks decouple dispatches from ticks; the scheduler
         # counts every real dispatch (tick/chunk/prefill/admit/retire)
@@ -135,9 +139,11 @@ def main():
             "batch": B, "tok_s_wall": round(rep["tokens_out"] / wall, 1),
             "tok_s_rtt_corrected": round(corrected, 1) if corrected else None,
             "occupancy": round(rep["avg_batch_occupancy"], 2),
-            "tokens_out": rep["tokens_out"], "requests": args.requests,
+            "tokens_out": rep["tokens_out"], "requests": n_req,
             "rtt_ms": round(rtt * 1e3, 1),
             "dispatches": rep.get("dispatches"),
+            "est_rtt_s": round(n_disp * rtt, 2),
+            "kv_int8": args.kv_int8,
         })
     print(json.dumps({"serving": rows, "preset": args.preset,
                       "gen_len": args.gen_len, "prompt_len": args.prompt_len}))

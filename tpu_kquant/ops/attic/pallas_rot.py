@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from tpu_kquant.ops.pallas_attn_in import _cap_chunk
+from tpu_kquant.ops.pallas_attn_in import _VMEM_CHUNK_ELEMS, _VMEM_LIMIT, _cap_chunk
 from tpu_kquant.ops.pallas_dequant import (
     fold_dot_mxu,
     group_scale_mul_sp,

@@ -789,6 +789,18 @@ def fused_oproj_ffn(
     K = attn.shape[-1]
     F = dn.shape[-1]
     lead = x.shape[:-1]
+    x2d = x.reshape(-1, dim)
+    if manual_oproj_enabled(wo, gu, dn, x2d.shape[0]) and not interpret:
+        import os
+
+        y = _oproj_ffn_manual_call(
+            x2d, attn.reshape(-1, K), norm_w, wo.arrays["qs"],
+            wo.arrays["sm"], gu.arrays["qs"], gu.arrays["sm"],
+            dn.arrays["qs"], dn.arrays["sp"], dim, K, F, float(eps), act_fn,
+            jnp.dtype(out_dtype).name, interpret,
+            int(os.environ.get("TKQ_MANUAL_TKO", "512")),
+            int(os.environ.get("TKQ_MANUAL_TF", "1024")))
+        return y.reshape(*lead, dim)
     wo_keys = tuple(sorted(wo.arrays))
     gu_keys = tuple(sorted(gu.arrays))
     dn_keys = tuple(sorted(dn.arrays))
@@ -803,3 +815,227 @@ def fused_oproj_ffn(
     )
     return y.reshape(*lead, dim)
 
+
+
+# ---------------------------------------------------------------------------
+# MANUAL-pipeline o_proj + residual + FFN (r5)
+#
+# Same finding as pallas_attn_in's manual variant: a hand-rolled
+# double-buffered DMA loop overlaps the VPU dequant chain with the weight
+# stream where Mosaic's automatic grid pipeline does not. Additionally the
+# FFN phase's first chunk is prefetched BEFORE the o_proj loop starts, so
+# the phase transition has no pipeline-refill bubble. Supported layout is
+# the production Q4_K_M shape set (wo q4-sm, fused gate+up q4-sm, down
+# flat-sp) at decode rows; everything else falls back to the Mosaic kernel.
+# ---------------------------------------------------------------------------
+
+
+def _oproj_ffn_manual_kernel(dim, K, TKo, nko, F, TF, nf, eps, act_fn,
+                             gw, g4, gd,
+                             x_ref, nw_ref, attn_ref, wo_qs, wo_sm, gu_qs,
+                             gu_sm, dn_qs, dn_sp, o_ref,
+                             bwo, bwosm, bwosmh, bg, bu, bgsm, busm, bd,
+                             bdsp, accx, acc, x2n, sems):
+    from tpu_kquant.ops.pallas_dequant import fold_dot_mxu, group_scale_mul_sp
+
+    sgw = TKo // gw
+    sgu = (dim // 2) // g4  # gu sm rows (per fold) — full column slices
+    sgd = TF // (2 * gd)
+
+    def wo_copies(i, slot):
+        return (
+            pltpu.make_async_copy(wo_qs.at[pl.ds(i * TKo, TKo)],
+                                  bwo.at[slot], sems.at[slot, 0]),
+            pltpu.make_async_copy(wo_sm.at[pl.ds(i * sgw, sgw)],
+                                  bwosm.at[slot], sems.at[slot, 1]),
+            pltpu.make_async_copy(
+                wo_sm.at[pl.ds((K // 2) // gw + i * sgw, sgw)],
+                bwosmh.at[slot], sems.at[slot, 2]),
+        )
+
+    def ffn_copies(j, slot):
+        return (
+            pltpu.make_async_copy(gu_qs.at[:, pl.ds(j * TF, TF)],
+                                  bg.at[slot], sems.at[slot, 3]),
+            pltpu.make_async_copy(gu_qs.at[:, pl.ds(F + j * TF, TF)],
+                                  bu.at[slot], sems.at[slot, 4]),
+            pltpu.make_async_copy(gu_sm.at[:, pl.ds(j * TF, TF)],
+                                  bgsm.at[slot], sems.at[slot, 5]),
+            pltpu.make_async_copy(gu_sm.at[:, pl.ds(F + j * TF, TF)],
+                                  busm.at[slot], sems.at[slot, 6]),
+            pltpu.make_async_copy(dn_qs.at[pl.ds(j * TF, TF)],
+                                  bd.at[slot], sems.at[slot, 7]),
+            pltpu.make_async_copy(dn_sp.at[pl.ds(j * sgd, sgd)],
+                                  bdsp.at[slot], sems.at[slot, 8]),
+        )
+
+    def start(copies):
+        for c in copies:
+            c.start()
+
+    def wait(copies):
+        for c in copies:
+            c.wait()
+
+    accx[:] = jnp.zeros_like(accx)
+    acc[:] = jnp.zeros_like(acc)
+    # prefetch BOTH phase streams' first chunks up front: the FFN phase's
+    # window fills while the o_proj loop runs
+    start(wo_copies(0, 0))
+    start(ffn_copies(0, 0))
+
+    # ---- phase A: o_proj (attn @ Wo), K-chunked -------------------------
+    def body_a(i, carry):
+        slot = jax.lax.rem(i, 2)
+        nslot = jax.lax.rem(i + 1, 2)
+
+        @pl.when(i + 1 < nko)
+        def _():
+            start(wo_copies(i + 1, nslot))
+
+        wait(wo_copies(i, slot))
+        a0 = None
+        for hi in (0, 1):
+            a_chunk = attn_ref[
+                :, pl.ds((K // 2 if hi else 0) + i * TKo, TKo)
+            ].astype(jnp.float32)
+            s, m = _decode_sm((bwosmh if hi else bwosm)[slot])
+            d = fold_dot_mxu(a_chunk, q4_codes_word(bwo[slot], bool(hi)),
+                             s, m, gw)
+            a0 = d if a0 is None else a0 + d
+        accx[:] = accx[:] + a0
+        return carry
+
+    jax.lax.fori_loop(0, nko, body_a, 0)
+
+    # residual + norm (bf16 rounding parity with the Mosaic kernel)
+    x2 = (x_ref[:].astype(jnp.float32) + accx[:]).astype(jnp.bfloat16)
+    x2f = x2.astype(jnp.float32)
+    var = jnp.mean(x2f * x2f, axis=-1, keepdims=True)
+    x2n[:] = x2f * jax.lax.rsqrt(var + eps) * nw_ref[:].astype(jnp.float32)
+
+    # ---- phase B: FFN, F-tiled ------------------------------------------
+    def body_b(j, carry):
+        slot = jax.lax.rem(j, 2)
+        nslot = jax.lax.rem(j + 1, 2)
+
+        @pl.when(j + 1 < nf)
+        def _():
+            start(ffn_copies(j + 1, nslot))
+
+        wait(ffn_copies(j, slot))
+        xn = x2n[:]
+
+        def gu_mm(qref, smref):
+            out = None
+            for hi in (0, 1):
+                sm_all = smref[slot]
+                s, m = _decode_sm(sm_all[sgu:] if hi else sm_all[:sgu])
+                d = fold_dot_mxu(
+                    xn[:, dim // 2:] if hi else xn[:, : dim // 2],
+                    q4_codes_word(qref[slot], bool(hi)), s, m, g4)
+                out = d if out is None else out + d
+            return out
+
+        gate = gu_mm(bg, bgsm).astype(jnp.bfloat16).astype(jnp.float32)
+        up = gu_mm(bu, busm).astype(jnp.bfloat16).astype(jnp.float32)
+        if act_fn == "gelu":
+            a = jax.nn.gelu(gate, approximate=False) * up
+        else:
+            a = jax.nn.silu(gate) * up
+        a = a.astype(jnp.bfloat16)
+        wd = group_scale_mul_sp(bd[slot].astype(jnp.float32), bdsp[slot], gd)
+        acc[:] = acc[:] + jax.lax.dot_general(
+            a.astype(jnp.float32), wd,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return carry
+
+    jax.lax.fori_loop(0, nf, body_b, 0)
+    o_ref[:] = (x2f + acc[:]).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("dim", "K", "F", "eps", "act_fn", "out_dtype",
+                     "interpret", "tko", "tf"),
+)
+def _oproj_ffn_manual_call(x2d, attn2d, norm_w, wo_qs, wo_sm, gu_qs, gu_sm,
+                           dn_qs, dn_sp, dim, K, F, eps, act_fn, out_dtype,
+                           interpret, tko, tf):
+    R = x2d.shape[0]
+    gw = g4 = 32
+    gd = 16
+    TKo = tko
+    while (K // 2) % TKo:
+        TKo //= 2
+    nko = (K // 2) // TKo
+    TF = tf
+    while F % TF:
+        TF //= 2
+    nf = F // TF
+    sgw = TKo // gw
+    sgu2 = 2 * ((dim // 2) // g4)  # full gu sm rows (both folds)
+    sgd = TF // (2 * gd)
+
+    kernel = functools.partial(_oproj_ffn_manual_kernel, dim, K, TKo, nko,
+                               F, TF, nf, eps, act_fn, gw, g4, gd)
+    y = pl.pallas_call(
+        kernel,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # x
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # norm_w
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # attn
+            pl.BlockSpec(memory_space=pltpu.ANY),   # wo qs
+            pl.BlockSpec(memory_space=pltpu.ANY),   # wo sm
+            pl.BlockSpec(memory_space=pltpu.ANY),   # gu qs
+            pl.BlockSpec(memory_space=pltpu.ANY),   # gu sm
+            pl.BlockSpec(memory_space=pltpu.ANY),   # dn qs
+            pl.BlockSpec(memory_space=pltpu.ANY),   # dn sp
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((R, dim), jnp.dtype(out_dtype)),
+        scratch_shapes=[
+            pltpu.VMEM((2, TKo, dim), jnp.uint8),       # bwo
+            pltpu.VMEM((2, sgw, dim), jnp.float32),     # bwosm
+            pltpu.VMEM((2, sgw, dim), jnp.float32),     # bwosmh
+            pltpu.VMEM((2, dim // 2, TF), jnp.uint8),   # bg
+            pltpu.VMEM((2, dim // 2, TF), jnp.uint8),   # bu
+            pltpu.VMEM((2, sgu2, TF), jnp.float32),     # bgsm
+            pltpu.VMEM((2, sgu2, TF), jnp.float32),     # busm
+            pltpu.VMEM((2, TF, dim), dn_qs.dtype),      # bd
+            pltpu.VMEM((2, sgd, dim), jnp.float32),     # bdsp
+            pltpu.VMEM((R, dim), jnp.float32),          # accx
+            pltpu.VMEM((R, dim), jnp.float32),          # acc
+            pltpu.VMEM((R, dim), jnp.float32),          # x2n
+            pltpu.SemaphoreType.DMA((2, 9)),
+        ],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(x2d, norm_w.reshape(1, dim), attn2d, wo_qs, wo_sm, gu_qs, gu_sm,
+      dn_qs, dn_sp)
+    return y
+
+
+def manual_oproj_enabled(wo: QTensor, gu: QTensor, dn: QTensor,
+                         rows: int) -> bool:
+    """Manual-pipeline dispatch for the o_proj+FFN megakernel: the Q4_K_M
+    production layout (wo q4-sm, gate+up q4-sm, down flat-sp) at decode
+    rows. TKQ_MANUAL_OPROJ=0 restores the Mosaic grid kernel."""
+    import os
+
+    if os.environ.get("TKQ_MANUAL_OPROJ", "1") != "1":
+        return False
+    if rows > 8:
+        return False
+    if wo.kind != "q4" or "sm" not in wo.arrays:
+        return False
+    if gu.kind != "q4" or "sm" not in gu.arrays:
+        return False
+    if dn.kind not in _FLAT_KINDS or "sp" not in dn.arrays:
+        return False
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:  # pragma: no cover
+        return False
