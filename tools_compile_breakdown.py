@@ -76,17 +76,25 @@ def main():
     # 1. prefill forward (the bucketed T=512 shape bench.py warms first)
     split("prefill fwd", eng._step, eng.params, toks, pos, cache, False)
 
-    # 2. pp marginal chain (traced-length fori of full prefills — bench.py)
-    @partial(jax.jit, static_argnums=())
-    def _pp_chain(params, toks0, n):
-        def body(i, carry):
-            t, acc = carry
-            t2 = jnp.where(t == 7, 11, t)
-            logits, _ = eng._step(params, t2, pos, eng.new_cache(1), False)
-            return (t2, acc + jnp.sum(logits[:, -1, :8].astype(jnp.float32)))
+    # 2. pp marginal chain — bench.py's exact body (llama_forward called
+    # directly; routing through the engine's jitted _step inlines a traced
+    # jaxpr and was measured to balloon the TRACE to 33.8 s — a tool bug,
+    # not a repo cost)
+    from tpu_kquant.models.llama import llama_forward as _fwd
 
-        _, acc = jax.lax.fori_loop(0, n, body, (toks0, jnp.float32(0)))
-        return acc
+    @jax.jit
+    def _pp_chain(params, toks0, n):
+        positions = jnp.broadcast_to(
+            jnp.arange(toks0.shape[1], dtype=jnp.int32), toks0.shape)
+
+        def body(_i, c):
+            t = toks0 - (c.astype(jnp.int32) & 1)
+            cache = eng.new_cache(1)
+            logits, _ = _fwd(params, cfg, t, positions, cache,
+                             logits_last_only=True)
+            return jnp.sum(logits[:, -1, :100])
+
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0))
 
     split("pp chain", _pp_chain, eng.params, toks, jnp.int32(2))
 
