@@ -140,6 +140,18 @@ def attention_decode(
     if scale is None:
         scale = D ** -0.5
 
+    # PREFILL attention dots in bf16 (f32 accumulation) — MEASURED NEUTRAL,
+    # default OFF (TKQ_ATTN_BF16=1 to re-measure): the hypothesis was that
+    # f32 operand feeds run the MXU at a fraction of its bf16 ingest rate
+    # (the qmm kernels' feed_bf16 rationale), but the same-session pp512
+    # A/B came out 63.0k (f32) vs 62.5k (bf16) — XLA already decomposes
+    # these f32 dots efficiently, so prefill's non-qmm residual lives in
+    # the softmax/norm/rope glue, not the attention matmuls.
+    bf16_dots = (
+        T > 1 and os.environ.get("TKQ_ATTN_BF16", "0") == "1" and _on_tpu()
+    )
+    ddt = jnp.bfloat16 if bf16_dots else jnp.float32
+
     # int8 KV: the per-token scales are constant along the contracted D axis,
     # so they fold OUT of both contractions — K scales multiply logit columns,
     # V scales multiply probability rows. The int8 cache feeds the dot via a
@@ -147,14 +159,15 @@ def attention_decode(
     # is ever materialized in HBM (VERDICT r1 weak #10: the old
     # `cache.astype(f32) * scale[..., None]` doubled decode KV traffic exactly
     # where small models/batches land below the Pallas dispatch gate).
-    kf = k_cache.astype(jnp.float32)
-    vf = v_cache.astype(jnp.float32)
+    kf = k_cache.astype(ddt)
+    vf = v_cache.astype(ddt)
     if kv_scales is not None:
         ks, vs = kv_scales  # [B, Hkv, S] each
 
-    qf = q.astype(jnp.float32).reshape(B, T, Hkv, G, D)
+    qf = q.astype(ddt).reshape(B, T, Hkv, G, D)
     # logits: [B, T, Hkv, G, S]
-    logits = jnp.einsum("bthgd,bhsd->bthgs", qf, kf) * scale
+    logits = jnp.einsum("bthgd,bhsd->bthgs", qf, kf,
+                        preferred_element_type=jnp.float32) * scale
     if kv_scales is not None:
         logits = logits * ks[:, None, :, None, :]
 
@@ -197,7 +210,8 @@ def attention_decode(
         p = jnp.where(at5, 0.0, p)
     if kv_scales is not None:
         p = p * vs[:, None, :, None, :]
-    out = jnp.einsum("bthgs,bhsd->bthgd", p, vf)
+    out = jnp.einsum("bthgs,bhsd->bthgd", p.astype(ddt), vf,
+                     preferred_element_type=jnp.float32)
     if at_cur is not None:
         out = out + p_cur[..., None] * v_cur.astype(jnp.float32).reshape(
             B, T, Hkv, 1, D)
