@@ -155,7 +155,8 @@ def main():
             t = toks - (c.astype(jnp.int32) & 1)
             cache = eng.new_cache(B)
             logits, _ = _fwd(params, cfg, t, positions, cache, impl=args.impl,
-                             logits_last_only=True)
+                             logits_last_only=True,
+                             kv_attend_len=toks.shape[1])
             return jnp.sum(logits[:, -1, :100])
 
         return jax.lax.fori_loop(0, n, body, jnp.float32(0))

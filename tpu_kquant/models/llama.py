@@ -47,6 +47,12 @@ def llama_layer(
     #               previous rotated-layer kernel (ops.pallas_ffn phase C)
     next_fuse=None,  # dict(norm_w2, ws2, cf, sf): emit the NEXT layer's QKV
     #                  from this layer's oproj+FFN launch (rotated boundary)
+    kv_attend_len: "int | None" = None,  # attention reads only cache slots
+    #   [0, kv_attend_len) — valid ONLY when every query position < that
+    #   bound (the bucketed-prefill invariant: positions = arange(T)).
+    #   Prefill against a max_seq cache otherwise pays QK/softmax/AV over
+    #   slots that are all masked (r5: 704-slot cache at pp512 = 27% dead
+    #   attention work).
 ):
     """One transformer block. Returns (x, updated LayerKV or None,
     next-layer projection outputs or None)."""
@@ -139,6 +145,15 @@ def llama_layer(
     else:
         lkv = append_layer(lkv, k, v, positions)
         k_all, v_all, kv_scales = lkv[0], lkv[1], layer_scales(lkv)
+    if (kv_attend_len is not None and ring_last is None and kv_cur is None
+            and kv_attend_len < k_all.shape[2]):
+        # reads fuse into the attention contraction (no cache copy); the
+        # full cache (post-append) is still what flows onward
+        k_all = k_all[:, :, :kv_attend_len]
+        v_all = v_all[:, :, :kv_attend_len]
+        if kv_scales is not None:
+            kv_scales = (kv_scales[0][..., :kv_attend_len],
+                         kv_scales[1][..., :kv_attend_len])
     # fused attention-output megakernel: flash attention + o_proj + residual
     # in one launch (decode shapes on TPU, full attention only)
     fused_out = None
@@ -257,6 +272,10 @@ def llama_forward(
     act_dtype=jnp.bfloat16,
     mesh=None,  # for MoE a2a dispatch only
     kv_valid=None,  # [B, T] bool: valid (non-pad) slots, iSWA prefill only
+    kv_attend_len: "int | None" = None,  # see llama_layer: attention reads
+    #   only cache slots [0, kv_attend_len); caller must guarantee every
+    #   query position is < kv_attend_len (bucketed prefill: positions =
+    #   arange(T) -> pass T)
 ) -> tuple[jnp.ndarray, KVCache]:
     """Returns (logits [B, T, vocab] (or [B, 1, vocab]), updated cache)."""
     x = dequant_rows(params["tok_embd"], tokens, dtype=act_dtype)
@@ -282,7 +301,8 @@ def llama_forward(
         def body(x, xs):
             layer, lkv, win = xs
             x, lkv, _ = llama_layer(layer, cfg, x, positions, cos, sin, lkv,
-                                    impl, mesh, window=0 if win is None else win)
+                                    impl, mesh, window=0 if win is None else win,
+                                    kv_attend_len=kv_attend_len)
             return x, lkv
 
         from tpu_kquant.runtime.kv_cache import KVCache as _KVCache
@@ -415,7 +435,8 @@ def llama_forward(
             x, _, pending_qkv = llama_layer(
                 layer, cfg, x, positions, cos, sin, None,
                 impl, mesh, window=cfg.layer_window(i),
-                kv_write=kv_write, qkv_in=pending_qkv, next_fuse=next_fuse)
+                kv_write=kv_write, qkv_in=pending_qkv, next_fuse=next_fuse,
+                kv_attend_len=kv_attend_len)
         if pending_kv:
             import jax as _jax
 

@@ -99,6 +99,7 @@ class InferenceEngine:
         self.kv_quantized = kv_quantized
         self.impl = impl
 
+        is_llama_fwd = forward_fn is None  # default llama_forward only
         fwd = partial(forward_fn or llama_forward, impl=impl)
         if mesh is not None:  # needed only by the MoE a2a dispatch
             fwd = partial(fwd, mesh=mesh)
@@ -107,7 +108,15 @@ class InferenceEngine:
 
         @partial(jax.jit, donate_argnums=(3,), static_argnums=(4,))
         def _step(params, tokens, positions, cache, last_only):
-            return fwd(params, cfg, tokens, positions, cache, logits_last_only=last_only)
+            kw = {}
+            if is_llama_fwd and tokens.shape[1] > 1:
+                # _step with T > 1 is only ever the bucketed prefill, whose
+                # positions are arange(T) — attention can skip the cache
+                # tail beyond slot T (masked anyway; ~27% of pp512 attention
+                # at the bench's 704-slot cache)
+                kw["kv_attend_len"] = tokens.shape[1]
+            return fwd(params, cfg, tokens, positions, cache,
+                       logits_last_only=last_only, **kw)
 
         self._step = _step
 
