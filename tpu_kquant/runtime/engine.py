@@ -122,9 +122,17 @@ class InferenceEngine:
 
         @partial(jax.jit, donate_argnums=(3,))
         def _step_valid(params, tokens, positions, cache, kv_valid):
-            """iSWA prefill step: pad slots must not be written to the rings."""
+            """iSWA prefill step: pad slots must not be written to the rings.
+            Also the serving admission-burst forward (unified layout), where
+            positions are arange(T) per row — the live-prefix attention
+            bound applies there but NOT to chunked iSWA prefill (later
+            chunks query positions >= T)."""
+            kw = {}
+            if (is_llama_fwd and kv_layout == "unified"
+                    and tokens.shape[1] > 1):
+                kw["kv_attend_len"] = tokens.shape[1]
             return fwd(params, cfg, tokens, positions, cache,
-                       logits_last_only=False, kv_valid=kv_valid)
+                       logits_last_only=False, kv_valid=kv_valid, **kw)
 
         self._step_valid = _step_valid
 
@@ -192,6 +200,10 @@ class InferenceEngine:
             masks right-pad steps — required for recurrent state (a pad
             update is forever), ignored by unified-KV appends (pad slots
             are overwritten before they can be attended)."""
+            kw = {}
+            if is_llama_fwd and tokens.shape[1] > 1:
+                # a slot prefill's positions are arange(T) (fresh request)
+                kw["kv_attend_len"] = tokens.shape[1]
             row = slice_batch_row(cache, slot)
             if cfg.is_recurrent:
                 # a reused slot's row still holds the PREVIOUS request's
@@ -202,7 +214,7 @@ class InferenceEngine:
                 row = jax.tree.map(jnp.zeros_like, row)
             logits, row = fwd(
                 params, cfg, tokens, positions, row, logits_last_only=False,
-                kv_valid=kv_valid,
+                kv_valid=kv_valid, **kw,
             )
             return logits[0], set_batch_row(cache, row, slot)
 
