@@ -108,15 +108,25 @@ class InferenceEngine:
 
         @partial(jax.jit, donate_argnums=(3,), static_argnums=(4,))
         def _step(params, tokens, positions, cache, last_only):
+            # NOTE: no kv_attend_len here — _step also serves callers whose
+            # T > 1 queries sit mid-sequence (speculative verify windows,
+            # perplexity over a pre-filled cache); only _step_prefill below
+            # may assume positions = arange(T)
+            return fwd(params, cfg, tokens, positions, cache,
+                       logits_last_only=last_only)
+
+        @partial(jax.jit, donate_argnums=(3,))
+        def _step_prefill(params, tokens, positions, cache):
+            """Bucketed prefill only (positions = arange(T)): attention
+            skips the cache tail beyond slot T (masked anyway; ~27% of
+            pp512 attention at the bench's 704-slot cache)."""
             kw = {}
             if is_llama_fwd and tokens.shape[1] > 1:
-                # _step with T > 1 is only ever the bucketed prefill, whose
-                # positions are arange(T) — attention can skip the cache
-                # tail beyond slot T (masked anyway; ~27% of pp512 attention
-                # at the bench's 704-slot cache)
                 kw["kv_attend_len"] = tokens.shape[1]
             return fwd(params, cfg, tokens, positions, cache,
-                       logits_last_only=last_only, **kw)
+                       logits_last_only=False, **kw)
+
+        self._step_prefill = _step_prefill
 
         self._step = _step
 
@@ -287,8 +297,8 @@ class InferenceEngine:
             last = jnp.take_along_axis(
                 logits, jnp.asarray(lens - 1)[:, None, None], axis=1)
             return last[:, 0, :], cache, lens
-        logits, cache = self._step(
-            self.params, jnp.asarray(toks), jnp.asarray(positions), cache, False
+        logits, cache = self._step_prefill(
+            self.params, jnp.asarray(toks), jnp.asarray(positions), cache
         )
         last = jnp.take_along_axis(logits, jnp.asarray(lens - 1)[:, None, None], axis=1)
         return last[:, 0, :], cache, lens
